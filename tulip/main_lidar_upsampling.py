@@ -1,0 +1,165 @@
+"""Public CLI entry point — flag- and workflow-compatible with the reference
+(tulip/main_lidar_upsampling.py:34-329) so the shipped bash_scripts run
+unchanged (torchrun-launched included), but executing on the TPU-native
+tulip_tpu stack: single-controller JAX, device-mesh data parallelism, bf16
+jitted train step, on-device eval metrics.
+"""
+
+import datetime
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tulip_tpu.config import model_config_from_args
+    from tulip_tpu.data import generate_dataset
+    from tulip_tpu.data.pipeline import DataLoader, ShardedSampler
+    from tulip_tpu.eval.engine import MCdrop, evaluate
+    from tulip_tpu.models.tulip import build_model, init_params
+    from tulip_tpu.parallel import dist, make_mesh
+    from tulip_tpu.parallel.mesh import init_distributed_mode
+    from tulip_tpu.train.engine import train_one_epoch
+    from tulip_tpu.train.step import (init_train_state, make_optimizer,
+                                      make_train_step, TrainState)
+    from tulip_tpu.utils import checkpoint as ckpt_util
+    from tulip_tpu.utils.writer import TBWriter, finish_wandb, init_wandb
+
+    init_distributed_mode(args)
+
+    print('job dir: {}'.format(os.path.dirname(os.path.realpath(__file__))))
+    print("{}".format(args).replace(', ', ',\n'))
+
+    # reproducibility (reference: main:154-157); JAX PRNG is explicit, numpy
+    # drives the host-side data pipeline
+    seed = args.seed + dist.get_rank()
+    np.random.seed(seed)
+
+    dataset_train = generate_dataset(is_train=True, args=args)
+    dataset_val = generate_dataset(is_train=False, args=args)
+    print(f"There are totally {len(dataset_train)} training data "
+          f"and {len(dataset_val)} validation data")
+
+    n_devices = jax.device_count()
+    launcher_world = getattr(args, 'launcher_world_size', 1)
+    # Effective batch parity: torchrun scripts mean batch_size per worker x
+    # nproc (reference: main:265).  Single-controller JAX feeds the global
+    # batch; shard it over however many chips exist.
+    dp_factor = launcher_world if launcher_world > 1 else n_devices
+    global_batch = args.batch_size * dp_factor
+
+    global_rank = dist.get_rank()
+    wandb_mod = init_wandb(args) if global_rank == 0 else None
+    if global_rank == 0 and args.log_dir is not None:
+        os.makedirs(args.log_dir, exist_ok=True)
+        log_writer = TBWriter(log_dir=args.log_dir)
+    else:
+        log_writer = None
+
+    sampler_train = ShardedSampler(len(dataset_train), shuffle=True,
+                                   seed=args.seed, drop_last=True)
+    data_loader_train = DataLoader(
+        dataset_train, batch_size=global_batch, sampler=sampler_train,
+        drop_last=True, num_workers=args.num_workers)
+    data_loader_val = DataLoader(
+        dataset_val, batch_size=1,
+        sampler=ShardedSampler(len(dataset_val), shuffle=False),
+        drop_last=False, num_workers=args.num_workers)
+
+    cfg = model_config_from_args(args)
+    model = build_model(cfg)
+    params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    n_params = sum(int(np.prod(v.shape)) for v in params.values())
+    print(f"Model = {args.model_select} ({n_params / 1e6:.1f}M params)")
+
+    eval_dtype = jnp.float32 if args.eval_precision == 'fp32' else jnp.bfloat16
+
+    if args.eval and os.path.exists(args.output_dir):
+        print("Loading Checkpoint and directly start the evaluation")
+        if args.output_dir.endswith("pth"):
+            args.resume = args.output_dir
+            args.output_dir = os.path.dirname(args.output_dir)
+        else:
+            ckpt_util.get_latest_checkpoint(args)
+        params, _, _ = ckpt_util.load_model(args, params, None)
+
+        print("Start Evaluation")
+        if args.mc_drop:
+            print("Evaluation with Monte Carlo Dropout")
+            MCdrop(data_loader_val, params, model, log_writer, args=args,
+                   compute_dtype=eval_dtype)
+        else:
+            evaluate(data_loader_val, params, model, log_writer, args=args,
+                     compute_dtype=eval_dtype)
+        print("Evaluation finished")
+        sys.exit(0)
+    else:
+        print("Start Training")
+
+    eff_batch_size = global_batch * args.accum_iter
+    if args.lr is None:  # only base_lr specified (reference: main:267-268)
+        args.lr = args.blr * eff_batch_size / 256
+    print("base lr: %.2e" % (args.lr * 256 / eff_batch_size))
+    print("actual lr: %.2e" % args.lr)
+    print("accumulate grad iterations: %d" % args.accum_iter)
+    print("effective batch size: %d" % eff_batch_size)
+
+    mesh = make_mesh(args.mesh_shape)
+    tx = make_optimizer(args.weight_decay, args.accum_iter)
+    state = init_train_state(params, tx)
+    compute_dtype = jnp.bfloat16 if args.precision == 'bf16' else jnp.float32
+    train_step = make_train_step(model, tx, accum_iter=args.accum_iter,
+                                 compute_dtype=compute_dtype)
+
+    params2, opt2, start_epoch = ckpt_util.load_model(args, state.params,
+                                                      state.opt_state)
+    state = TrainState(params=params2, opt_state=opt2, step=state.step)
+    args.start_epoch = start_epoch
+
+    print(f"Start training for {args.epochs} epochs")
+    start_time = time.time()
+    base_rng = jax.random.PRNGKey(args.seed)
+    for epoch in range(args.start_epoch, args.epochs):
+        sampler_train.set_epoch(epoch)
+        state, train_stats = train_one_epoch(
+            train_step, state, data_loader_train, epoch, mesh=mesh,
+            log_writer=log_writer, args=args, base_rng=base_rng)
+        if args.output_dir and (epoch % args.save_frequency == 0
+                                or epoch + 1 == args.epochs):
+            if dist.is_main_process():
+                ckpt_util.save_model(args, epoch, state.params, state.opt_state)
+
+        log_stats = {**{f'train_{k}': v for k, v in train_stats.items()},
+                     'epoch': epoch}
+        if args.output_dir and dist.is_main_process():
+            if log_writer is not None:
+                log_writer.flush()
+            with open(os.path.join(args.output_dir, "log.txt"), mode="a",
+                      encoding="utf-8") as f:
+                f.write(json.dumps(log_stats) + "\n")
+
+    total_time = time.time() - start_time
+    total_time_str = str(datetime.timedelta(seconds=int(total_time)))
+    print('Training time {}'.format(total_time_str))
+    print('Training finished')
+
+    if global_rank == 0:
+        finish_wandb(wandb_mod)
+
+
+if __name__ == '__main__':
+    from tulip_tpu.config import get_args_parser
+    parser = get_args_parser()
+    args = parser.parse_args()
+    if args.output_dir and not args.eval:
+        Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    main(args)

@@ -1,0 +1,351 @@
+"""Evaluation engines: plain eval and Monte-Carlo-dropout eval.
+
+Parity targets: evaluate (tulip/engine_upsampling.py:126-356) and MCdrop
+(engine:361-608).  The device work — forward, de-log, range gating, loss
+map, and the chamfer sweep — is jitted; the dynamic-extent voxel metrics and
+the sensor-model reprojection run vectorized on host (cheap next to the
+forward).  Metric-order parity quirks preserved:
+
+- MAE is computed on the gated/de-logged prediction BEFORE low-res row
+  re-injection (engine:192-193 vs :215).
+- range gates: carla/kitti 2/80..1, durlar 0.3/120..1 in evaluate
+  (engine:183-188); MCdrop's kitti gate is 0..1 (engine:442).
+- MCdrop std uses Bessel's correction (torch.std default, engine:423) and
+  zeroes pixels where std > threshold * mean (engine:424-426).
+- metrics only accumulate when a log_writer is present (engine:174, 428).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import tqdm
+
+from ..models.tulip import TulipModel, apply_model
+from ..utils.writer import colorize_range_image, write_ply
+from .geometry import img_to_pcd_carla, img_to_pcd_durlar, img_to_pcd_kitti
+from .metrics import calculate_metrics, chamfer_distance, voxelize_point_cloud
+
+_GATES = {  # evaluate-path gates (engine:183-188)
+    "carla": (2 / 80, 1.0),
+    "durlar": (0.3 / 120, 1.0),
+    "kitti": (2 / 80, 1.0),
+}
+_GATES_MC = {  # MCdrop-path gates (engine:437-442)
+    "carla": (2 / 80, 1.0),
+    "durlar": (0.3 / 120, 1.0),
+    "kitti": (0.0, 1.0),
+}
+
+
+def _make_eval_forward(model: TulipModel, dataset: str, log_transform: bool,
+                       gates, compute_dtype):
+    """Jitted: forward + de-log + gate + loss map (device side of
+    engine:168-193)."""
+    lo, hi = gates.get(dataset, (None, None))
+
+    @jax.jit
+    def fwd(params, low, high):
+        pred, _, _ = apply_model(params, model, low, high, mode="eval",
+                                 compute_dtype=compute_dtype)
+        pred = pred.astype(jnp.float32)
+        high32 = high.astype(jnp.float32)
+        low32 = low.astype(jnp.float32)
+        if log_transform:
+            pred = jnp.expm1(pred)
+            high32 = jnp.expm1(high32)
+            low32 = jnp.expm1(low32)
+        if lo is not None:
+            pred = jnp.where((pred >= lo) & (pred <= hi), pred, 0.0)
+        loss_map = jnp.abs(pred - high32)
+        return pred, high32, low32, loss_map, jnp.mean(loss_map)
+
+    return fwd
+
+
+def _make_mc_forward(model: TulipModel, compute_dtype):
+    """Jitted MC forward: one batch of dropout-active forwards
+    (engine:409-421; model called with mc_drop=True, tulip.py:733-734)."""
+    @jax.jit
+    def fwd(params, low_tiled, rng):
+        return apply_model(params, model, low_tiled, None, mode="mc",
+                           rng=rng, mc_drop=True,
+                           compute_dtype=compute_dtype).astype(jnp.float32)
+    return fwd
+
+
+def _project(dataset: str, img: np.ndarray, mc: bool = False) -> np.ndarray:
+    if dataset == "carla":
+        return img_to_pcd_carla(img, maximum_range=80)
+    if dataset == "kitti":
+        return img_to_pcd_kitti(img, maximum_range=80)
+    if dataset == "durlar":
+        # MCdrop calls img_to_pcd_durlar without maximum_range (default 120)
+        # (engine:509-510) — same value; preserved for clarity.
+        return img_to_pcd_durlar(img, maximum_range=120)
+    raise NotImplementedError(f"Cannot find the dataset: {dataset}")
+
+
+def _sample_3d_metrics(dataset, pred_img, images_high_res, images_low_res,
+                       h_high_res, downsampling_factor, args, mc: bool):
+    """Host-side per-sample 3D metric path (engine:205-276).  Returns
+    (loss_low_res_part, chamfer, iou, precision, recall, f1, pcd_pred, pcd_gt)
+    and mutates pred_img with the low-res row re-injection."""
+    if dataset == "carla" and tuple(args.img_size_low_res)[1] != tuple(args.img_size_high_res)[1]:
+        loss_low_res_part = 0.0
+    else:
+        low_res_index = range(0, h_high_res, downsampling_factor)
+        pred_low_res_part = pred_img[low_res_index, :]
+        loss_low_res_part = float(np.abs(pred_low_res_part - images_low_res).mean())
+        pred_img[low_res_index, :] = images_low_res
+
+    if dataset == "durlar" and (not mc) and args.keep_close_scan:
+        pred_img[pred_img > 0.25] = 0
+        images_high_res[images_high_res > 0.25] = 0
+    if dataset == "kitti" and mc and args.keep_close_scan:
+        pred_img[pred_img > 0.25] = 0
+        images_high_res[images_high_res > 0.25] = 0
+
+    pcd_pred = _project(dataset, pred_img, mc)
+    pcd_gt = _project(dataset, images_high_res, mc)
+
+    chamfer_dist = chamfer_distance(pcd_gt, pcd_pred)
+
+    pcd_all = np.vstack((pcd_pred, pcd_gt))
+    min_coord = np.min(pcd_all, axis=0)
+    max_coord = np.max(pcd_all, axis=0)
+    voxel_pred = voxelize_point_cloud(pcd_pred, args.grid_size, min_coord, max_coord)
+    voxel_gt = voxelize_point_cloud(pcd_gt, args.grid_size, min_coord, max_coord)
+    iou, precision, recall = calculate_metrics(voxel_pred, voxel_gt)
+    f1 = 2 * (precision * recall) / (precision + recall)
+    return loss_low_res_part, chamfer_dist, iou, precision, recall, f1, pcd_pred, pcd_gt
+
+
+def _log_sample(log_writer, local_step, global_step, images_high_res, pred_img,
+                loss_map, mae, loss_low_res_part, chamfer_dist, iou, precision,
+                recall, pcd_pred, pcd_gt, args, pcd_dirname):
+    """TB image grid + scalars + optional .ply export (engine:285-329)."""
+    lm = np.asarray(loss_map).squeeze()
+    lm = (lm - lm.min()) / (lm.max() - lm.min() + 1e-8)
+    grid = np.concatenate([
+        colorize_range_image(images_high_res),
+        colorize_range_image(np.asarray(pred_img)),
+        colorize_range_image(lm, "jet"),
+    ], axis=1)
+    log_writer.add_image('gt - pred', grid, local_step)
+    log_writer.add_scalar('Test/mae_all', mae, local_step)
+    log_writer.add_scalar('Test/mae_low_res', loss_low_res_part, local_step)
+    log_writer.add_scalar('Test/chamfer_dist', chamfer_dist, local_step)
+    log_writer.add_scalar('Test/iou', iou, local_step)
+    log_writer.add_scalar('Test/precision', precision, local_step)
+    log_writer.add_scalar('Test/recall', recall, local_step)
+
+    if args.save_pcd and local_step % 4 == 0:
+        pcd_outputpath = os.path.join(args.output_dir, pcd_dirname)
+        os.makedirs(pcd_outputpath, exist_ok=True)
+        pred_color = np.zeros_like(pcd_pred)
+        pred_color[:, 0] = 255
+        gt_color = np.zeros_like(pcd_gt)
+        gt_color[:, 2] = 255
+        write_ply(os.path.join(pcd_outputpath, f"pred_{global_step}.ply"),
+                  pcd_pred, pred_color)
+        write_ply(os.path.join(pcd_outputpath, f"gt_{global_step}.ply"),
+                  pcd_gt, gt_color)
+
+
+def _finalize(evaluation_metrics, totals, global_step, log_writer, args,
+              results_name):
+    evaluation_file_path = os.path.join(args.output_dir, results_name)
+    with open(evaluation_file_path, 'w') as f:
+        json.dump(evaluation_metrics, f)
+    print(f'Dictionary saved to {evaluation_file_path}')
+
+    if log_writer is not None and global_step > 0:
+        log_writer.add_scalar('Metrics/test_average_iou',
+                              totals['iou'] / global_step, 0)
+        log_writer.add_scalar('Metrics/test_average_cd',
+                              totals['cd'] / global_step, 0)
+        log_writer.add_scalar('Metrics/test_average_loss',
+                              totals['loss'] / global_step, 0)
+        log_writer.add_scalar('Metrics/test_average_f1',
+                              totals['f1'] / global_step, 0)
+        log_writer.add_scalar('Metrics/test_average_precision',
+                              totals['precision'] / global_step, 0)
+        log_writer.add_scalar('Metrics/test_average_recall',
+                              totals['recall'] / global_step, 0)
+    return evaluation_metrics
+
+
+def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
+             compute_dtype=jnp.float32):
+    """Plain evaluation (reference: engine_upsampling.py:126-356)."""
+    h_low_res = tuple(args.img_size_low_res)[0]
+    h_high_res = tuple(args.img_size_high_res)[0]
+    downsampling_factor = h_high_res // h_low_res
+    dataset = args.dataset_select
+
+    fwd = _make_eval_forward(model, dataset, args.log_transform, _GATES,
+                             compute_dtype)
+
+    global_step = 0
+    local_step = 0
+    totals = dict(loss=0.0, iou=0.0, cd=0.0, f1=0.0, precision=0.0, recall=0.0)
+    evaluation_metrics = {k: [] for k in
+                          ('mae', 'chamfer_dist', 'iou', 'precision',
+                           'recall', 'f1')}
+
+    for batch in tqdm.tqdm(data_loader):
+        low = jnp.asarray(batch[0]['sample'])
+        high = jnp.asarray(batch[1]['sample'])
+        global_step += 1
+
+        pred, high32, low32, loss_map, mae = fwd(params, low, high)
+
+        if log_writer is None:
+            continue  # parity: metrics only on the logging rank (engine:174)
+
+        mae = float(mae)
+        images_high_res = np.asarray(high32).squeeze()
+        images_low_res = np.asarray(low32).squeeze()
+        pred_img = np.array(pred).squeeze()
+
+        (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
+         pcd_pred, pcd_gt) = _sample_3d_metrics(
+            dataset, pred_img, images_high_res, images_low_res,
+            h_high_res, downsampling_factor, args, mc=False)
+
+        evaluation_metrics['mae'].append(mae)
+        evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
+        evaluation_metrics['iou'].append(iou)
+        evaluation_metrics['precision'].append(precision)
+        evaluation_metrics['recall'].append(recall)
+        evaluation_metrics['f1'].append(f1)
+
+        if global_step % 100 == 0 or global_step == 1:
+            _log_sample(log_writer, local_step, global_step, images_high_res,
+                        pred_img, loss_map, mae, loss_low_res_part,
+                        chamfer_dist, iou, precision, recall, pcd_pred, pcd_gt,
+                        args, 'pcd')
+            local_step += 1
+
+        totals['iou'] += iou
+        totals['cd'] += float(chamfer_dist)
+        totals['loss'] += mae
+        totals['f1'] += f1
+        totals['precision'] += precision
+        totals['recall'] += recall
+
+    return _finalize(evaluation_metrics, totals, global_step, log_writer,
+                     args, 'results.txt')
+
+
+def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
+           compute_dtype=jnp.float32):
+    """Monte-Carlo-dropout evaluation (reference: engine:361-608).
+
+    Runs num_mcdropout_iterations dropout-active forwards in tiles of 8,
+    averages, and zeroes pixels whose std exceeds threshold * mean.  NOTE
+    (parity): shipped configs have all dropout rates 0, so the 50 passes are
+    identical, std == 0, and no pixel is removed — reproduced exactly
+    (SURVEY.md 7.3.8); we do not 'fix' this.
+    """
+    iteration = args.num_mcdropout_iterations
+    iteration_batch = 8
+    noise_threshold = args.noise_threshold
+    assert iteration > iteration_batch
+
+    h_low_res = tuple(args.img_size_low_res)[0]
+    h_high_res = tuple(args.img_size_high_res)[0]
+    downsampling_factor = h_high_res // h_low_res
+    dataset = args.dataset_select
+
+    mc_fwd = _make_mc_forward(model, compute_dtype)
+
+    lo, hi = _GATES_MC.get(dataset, (None, None))
+
+    @jax.jit
+    def postprocess(preds, low, high):
+        # preds: (iteration, C, H, W) stacked MC samples
+        pred_mean = jnp.mean(preds, axis=0, keepdims=True)
+        # torch.std default: Bessel-corrected (engine:423)
+        pred_std = jnp.std(preds, axis=0, keepdims=True, ddof=1)
+        noise_removal = pred_std > noise_threshold * pred_mean
+        pred = jnp.where(noise_removal, 0.0, pred_mean)
+        high32 = high.astype(jnp.float32)
+        low32 = low.astype(jnp.float32)
+        if args.log_transform:
+            pred = jnp.expm1(pred)
+            high32 = jnp.expm1(high32)
+            low32 = jnp.expm1(low32)
+        if lo is not None:
+            pred = jnp.where((pred >= lo) & (pred <= hi), pred, 0.0)
+        loss_map = jnp.abs(pred - high32)
+        return pred, high32, low32, loss_map, jnp.mean(loss_map)
+
+    global_step = 0
+    local_step = 0
+    totals = dict(loss=0.0, iou=0.0, cd=0.0, f1=0.0, precision=0.0, recall=0.0)
+    evaluation_metrics = {k: [] for k in
+                          ('mae', 'chamfer_dist', 'iou', 'precision',
+                           'recall', 'f1')}
+    base_rng = jax.random.PRNGKey(args.seed)
+
+    for batch in tqdm.tqdm(data_loader):
+        low = jnp.asarray(batch[0]['sample'])    # (1, C, H, W)
+        high = jnp.asarray(batch[1]['sample'])
+        global_step += 1
+
+        chunks = []
+        n_chunks = int(np.ceil(iteration / iteration_batch))
+        for i in range(n_chunks):
+            input_batch = iteration_batch if (iteration - i * iteration_batch) > iteration_batch \
+                else (iteration - i * iteration_batch)
+            tiled = jnp.tile(low, (input_batch, 1, 1, 1))
+            rng = jax.random.fold_in(jax.random.fold_in(base_rng, global_step), i)
+            chunks.append(mc_fwd(params, tiled, rng))
+        preds = jnp.concatenate(chunks, axis=0)[:iteration]
+
+        pred, high32, low32, loss_map, mae = postprocess(preds, low, high)
+
+        if log_writer is None:
+            continue
+
+        mae = float(mae)
+        images_high_res = np.asarray(high32).squeeze()
+        images_low_res = np.asarray(low32).squeeze()
+        pred_img = np.array(pred).squeeze()
+
+        (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
+         pcd_pred, pcd_gt) = _sample_3d_metrics(
+            dataset, pred_img, images_high_res, images_low_res,
+            h_high_res, downsampling_factor, args, mc=True)
+
+        evaluation_metrics['mae'].append(mae)
+        evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
+        evaluation_metrics['iou'].append(iou)
+        evaluation_metrics['precision'].append(precision)
+        evaluation_metrics['recall'].append(recall)
+        evaluation_metrics['f1'].append(f1)
+
+        if global_step % 100 == 0 or global_step == 1:
+            _log_sample(log_writer, local_step, global_step, images_high_res,
+                        pred_img, loss_map, mae, loss_low_res_part,
+                        chamfer_dist, iou, precision, recall, pcd_pred, pcd_gt,
+                        args, 'pcd_mc_drop')
+            local_step += 1
+
+        totals['iou'] += iou
+        totals['cd'] += float(chamfer_dist)
+        totals['loss'] += mae
+        totals['f1'] += f1
+        totals['precision'] += precision
+        totals['recall'] += recall
+
+    return _finalize(evaluation_metrics, totals, global_step, log_writer,
+                     args, 'results_mcdrop.txt')

@@ -1,0 +1,105 @@
+"""Evaluation metrics: chamfer distance (on-device), voxel IoU/P/R, MAE.
+
+Parity targets: tulip/util/evaluation.py:119-180 and the external CUDA
+``chamfer_distance`` extension the reference depends on (README.md:24-26) —
+bidirectional nearest-neighbor *squared* distances, mean over both directions.
+
+TPU-native chamfer: with |a-b|^2 = |a|^2 + |b|^2 - 2 a.b the cross term is a
+(N,3)x(3,M) matmul, so the O(N*M) sweep rides the MXU.  The M axis is tiled
+with a lax.scan carrying a running min so the full N*M distance matrix never
+materializes (memory O(N * chunk)).  Point clouds here are full range images
+(H*W points, static shapes), so everything jits cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+_PAD_VALUE = 1.0e8  # sentinel coordinate for chunk padding; distances ~1e16
+
+
+def _pad_to_multiple(x: np.ndarray, chunk: int) -> np.ndarray:
+    m = x.shape[0]
+    rem = (-m) % chunk
+    if rem == 0:
+        return x
+    pad = np.full((rem, x.shape[1]), _PAD_VALUE, dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+def chamfer_distance(points1: np.ndarray, points2: np.ndarray,
+                     num_points: Optional[int] = None) -> float:
+    """Bidirectional squared-NN chamfer, mean(d1)+mean(d2)
+    (reference: evaluation.py:125-134; CUDA ext semantics).
+
+    points1/points2: (N, 3) / (M, 3) numpy or jax arrays.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import get_chamfer_impl
+    impl = get_chamfer_impl()
+
+    p1 = np.asarray(points1, dtype=np.float32)
+    p2 = np.asarray(points2, dtype=np.float32)
+    chunk = 4096 if max(p1.shape[0], p2.shape[0]) >= 4096 else 512
+    n1, n2 = p1.shape[0], p2.shape[0]
+    p1p = _pad_to_multiple(p1, chunk)
+    p2p = _pad_to_multiple(p2, chunk)
+
+    d1 = impl(jnp.asarray(p1), jnp.asarray(p2p), chunk=chunk)  # gt -> pred
+    d2 = impl(jnp.asarray(p2), jnp.asarray(p1p), chunk=chunk)  # pred -> gt
+    if num_points is None:
+        return float(jnp.mean(d1)) + float(jnp.mean(d2))
+    return float(jnp.sum(d1) / num_points) + float(jnp.sum(d2) / num_points)
+
+
+def mean_absolute_error(pred_img, gt_img) -> float:
+    """(reference: evaluation.py:119-122)"""
+    return float(np.abs(np.asarray(pred_img) - np.asarray(gt_img)).mean())
+
+
+def voxelize_point_cloud(point_cloud: np.ndarray, grid_size: float,
+                         min_coord: np.ndarray, max_coord: np.ndarray) -> np.ndarray:
+    """Dynamic-extent boolean voxel grid (reference: evaluation.py:148-159).
+    Stays on host: extents are data-dependent (dynamic shapes) and the work is
+    O(points), trivial next to the model forward."""
+    dimensions = ((max_coord - min_coord) / grid_size).astype(int) + 1
+    voxel_grid = np.zeros(dimensions, dtype=bool)
+    indices = ((point_cloud - min_coord) / grid_size).astype(int)
+    voxel_grid[tuple(indices.T)] = True
+    return voxel_grid
+
+
+def calculate_metrics(voxel_grid_predicted: np.ndarray,
+                      voxel_grid_ground_truth: np.ndarray):
+    """IoU / precision / recall from boolean grids
+    (reference: evaluation.py:161-175)."""
+    intersection = np.logical_and(voxel_grid_predicted, voxel_grid_ground_truth)
+    union = np.logical_or(voxel_grid_predicted, voxel_grid_ground_truth)
+
+    iou = np.sum(intersection) / np.sum(union)
+    true_positive = np.sum(intersection)
+    false_positive = np.sum(voxel_grid_predicted) - true_positive
+    false_negative = np.sum(voxel_grid_ground_truth) - true_positive
+    precision = true_positive / (true_positive + false_positive)
+    recall = true_positive / (true_positive + false_negative)
+    return iou, precision, recall
+
+
+def inverse_huber_loss(output, target):
+    """(reference: evaluation.py:177-180; dead code kept for API parity)"""
+    absdiff = np.abs(np.asarray(output) - np.asarray(target))
+    C = 0.2 * absdiff.max()
+    return np.where(absdiff < C, absdiff, (absdiff * absdiff + C * C) / (2 * C))
+
+
+def depth_wise_unconcate(imgs: np.ndarray) -> np.ndarray:
+    """Channels -> interleaved rows (reference: evaluation.py:136-145; dead
+    code kept for API parity).  imgs: (B, C, H, W) -> (B, 1, H*C, W)."""
+    b, c, h, w = imgs.shape
+    new_imgs = np.zeros((b, h * c, w), dtype=imgs.dtype)
+    for i in range(c):
+        new_imgs[:, range(i, h * c + i, c), :] = imgs[:, i, :, :]
+    return new_imgs.reshape(b, 1, h * c, w)

@@ -1,0 +1,285 @@
+"""Swin blocks (v1 rectangular-window and v2 cosine-attention variants) as
+pure functions over a flat param dict.
+
+Parity targets:
+- v1: WindowAttention / SwinTransformerBlock (tulip/model/tulip.py:203-352)
+- v2: WindowAttention / SwinTransformerBlockV2
+  (tulip/model/swin_transformer_v2.py:69-311)
+
+All shape decisions (window fallback, shift masks, relative-position index)
+are static, computed at config time (tulip_tpu/config.py,
+tulip_tpu/models/layers.py) — nothing here depends on runtime values, so the
+whole forward traces to a single XLA program with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StageConfig
+from . import layers as L
+from .layers import Params
+
+
+class BlockStatic(NamedTuple):
+    """Static per-block geometry: everything attention needs besides params."""
+    grid: tuple            # (H, W) token grid
+    window: tuple          # effective partition window (wh, ww)
+    shift: tuple           # (sh, sw); (0, 0) for unshifted blocks
+    num_heads: int
+    rel_index: np.ndarray  # (L, L) int — built from the ORIGINAL config window
+    mask: Optional[np.ndarray]  # (nW, L, L) additive mask or None
+    drop_path: float
+
+
+def make_block_static(stage: StageConfig, block_idx: int,
+                      config_window) -> BlockStatic:
+    """Resolve one block's static geometry.
+
+    NOTE (parity): when the H-fallback flattens the partition window to
+    (1, wh*ww), the reference keeps indexing the relative-position-bias table
+    with the index precomputed for the ORIGINAL window (the buffer is built in
+    __init__ at tulip/model/tulip.py:228-240 and never rebuilt after the
+    runtime mutation at :284-287).  We reproduce that: ``rel_index`` always
+    derives from ``config_window``."""
+    shifted = block_idx % 2 == 1
+    shift = stage.shift if shifted else (0, 0)
+    rel_index = L.relative_position_index(config_window)
+    mask = None
+    if shifted:
+        mask = L.shift_attention_mask(stage.grid, stage.window, stage.shift)
+    return BlockStatic(grid=stage.grid, window=stage.window, shift=shift,
+                       num_heads=stage.num_heads, rel_index=rel_index,
+                       mask=mask, drop_path=stage.drop_path[block_idx])
+
+
+# ---------------------------------------------------------------------------
+# Window partition / reverse (pure reshapes — XLA fuses these away)
+# ---------------------------------------------------------------------------
+
+def window_partition(x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nH*nW, wh*ww, C), windows ordered (b, nh, nw)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // wh, wh, W // ww, ww, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B * (H // wh) * (W // ww), wh * ww, C)
+
+
+def window_reverse(x: jnp.ndarray, wh: int, ww: int, H: int, W: int) -> jnp.ndarray:
+    """Inverse of window_partition."""
+    nH, nW = H // wh, W // ww
+    B = x.shape[0] // (nH * nW)
+    x = x.reshape(B, nH, nW, wh, ww, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, -1)
+
+
+# ---------------------------------------------------------------------------
+# v1 window attention (reference: tulip/model/tulip.py:203-324)
+# ---------------------------------------------------------------------------
+
+def window_attention_v1(p: Params, prefix: str, x: jnp.ndarray,
+                        st: BlockStatic, *, attn_drop: float = 0.0,
+                        proj_drop: float = 0.0, rng=None,
+                        dropout_active: bool = False) -> jnp.ndarray:
+    """Shifted-window MSA with learned relative position bias.
+
+    x: (B, H, W, C).  All-window attention runs as batched matmuls so the
+    thousands of 16-token windows per range image land on the MXU as one
+    large contraction.
+    """
+    B, H, W, C = x.shape
+    wh, ww = st.window
+    sh, sw = st.shift
+    nh = st.num_heads
+    hd = C // nh
+    scale = hd ** -0.5
+    Lw = wh * ww
+
+    if sh or sw:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+
+    xw = window_partition(x, wh, ww)                       # (Bn, L, C)
+    Bn = xw.shape[0]
+
+    qkv = L.linear(p, f"{prefix}.qkv", xw)                 # (Bn, L, 3C)
+    qkv = qkv.reshape(Bn, Lw, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]                       # (Bn, nh, L, hd)
+
+    attn = jnp.einsum("bnld,bnmd->bnlm", q * scale, k,
+                      preferred_element_type=jnp.float32)  # (Bn, nh, L, L)
+
+    table = p[f"{prefix}.relative_position_bias_table"].astype(jnp.float32)
+    bias = table[jnp.asarray(st.rel_index.reshape(-1))]
+    bias = bias.reshape(Lw, Lw, nh).transpose(2, 0, 1)     # (nh, L, L)
+    attn = attn + bias[None]
+
+    if st.mask is not None:
+        nWin = st.mask.shape[0]
+        mask = jnp.asarray(st.mask, dtype=jnp.float32)
+        attn = attn.reshape(Bn // nWin, nWin, nh, Lw, Lw) + mask[None, :, None]
+        attn = attn.reshape(Bn, nh, Lw, Lw)
+
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    if dropout_active and attn_drop > 0.0 and rng is not None:
+        rng, sub = jax.random.split(rng)
+        attn = L.dropout(attn, attn_drop, sub, True)
+
+    out = jnp.einsum("bnlm,bnmd->bnld", attn, v)           # (Bn, nh, L, hd)
+    out = out.transpose(0, 2, 1, 3).reshape(Bn, Lw, C)
+    out = L.linear(p, f"{prefix}.proj", out)
+    if dropout_active and proj_drop > 0.0 and rng is not None:
+        rng, sub = jax.random.split(rng)
+        out = L.dropout(out, proj_drop, sub, True)
+
+    out = window_reverse(out, wh, ww, H, W)
+    if sh or sw:
+        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+    return out
+
+
+def mlp(p: Params, prefix: str, x: jnp.ndarray, *, drop: float = 0.0,
+        rng=None, dropout_active: bool = False) -> jnp.ndarray:
+    """(reference: tulip/model/tulip.py:181-200)"""
+    x = L.linear(p, f"{prefix}.fc1", x)
+    x = L.gelu(x)
+    if dropout_active and drop > 0.0 and rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = L.dropout(x, drop, sub, True)
+    x = L.linear(p, f"{prefix}.fc2", x)
+    if dropout_active and drop > 0.0 and rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = L.dropout(x, drop, sub, True)
+    return x
+
+
+def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
+                  eps: float, drop: float = 0.0, attn_drop: float = 0.0,
+                  rng=None, dropout_active: bool = False,
+                  droppath_active: bool = False) -> jnp.ndarray:
+    """Pre-norm Swin block (reference: tulip/model/tulip.py:326-352)."""
+    def next_rng():
+        nonlocal rng
+        if rng is None:
+            return None
+        rng, sub = jax.random.split(rng)
+        return sub
+
+    shortcut = x
+    y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
+    y = window_attention_v1(p, f"{prefix}.attn", y, st, attn_drop=attn_drop,
+                            proj_drop=drop, rng=next_rng(),
+                            dropout_active=dropout_active)
+    y = L.drop_path(y, st.drop_path, next_rng(), droppath_active)
+    x = x + y
+
+    y = L.layer_norm(p, f"{prefix}.norm2", x, eps)
+    y = mlp(p, f"{prefix}.mlp", y, drop=drop, rng=next_rng(),
+            dropout_active=dropout_active)
+    y = L.drop_path(y, st.drop_path, next_rng(), droppath_active)
+    return x + y
+
+
+# ---------------------------------------------------------------------------
+# v2 (cosine attention, post-norm) — reference:
+# tulip/model/swin_transformer_v2.py:69-311.  Square windows only, matching
+# the reference (SwinTransformerBlockV2 takes a scalar window_size).
+# ---------------------------------------------------------------------------
+
+def _cpb_table(p: Params, prefix: str, window, nh: int) -> jnp.ndarray:
+    """Continuous position bias: 2-layer MLP over a log-spaced coord table,
+    then 16*sigmoid (reference: swin_transformer_v2.py:94-115, 161-165)."""
+    wh, ww = window
+    ch = np.arange(-(wh - 1), wh, dtype=np.float32)
+    cw = np.arange(-(ww - 1), ww, dtype=np.float32)
+    table = np.stack(np.meshgrid(ch, cw, indexing="ij"), axis=-1)  # (2wh-1,2ww-1,2)
+    table[..., 0] /= max(wh - 1, 1)
+    table[..., 1] /= max(ww - 1, 1)
+    table *= 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    t = jnp.asarray(table.reshape(-1, 2), dtype=jnp.float32)
+    h = L.linear(p, f"{prefix}.cpb_mlp.0", t)
+    h = jnp.maximum(h, 0.0)
+    h = L.linear(p, f"{prefix}.cpb_mlp.2", h)   # ((2wh-1)(2ww-1), nh)
+    return h
+
+
+def window_attention_v2(p: Params, prefix: str, xw: jnp.ndarray,
+                        st: BlockStatic) -> jnp.ndarray:
+    """Cosine attention over pre-partitioned windows (Bn, L, C)."""
+    Bn, Lw, C = xw.shape
+    nh = st.num_heads
+    hd = C // nh
+
+    w = p[f"{prefix}.qkv.weight"].astype(xw.dtype)         # (C, 3C)
+    qb = p.get(f"{prefix}.q_bias")
+    if qb is not None:
+        vb = p[f"{prefix}.v_bias"]
+        bias = jnp.concatenate([qb, jnp.zeros_like(vb), vb]).astype(xw.dtype)
+        qkv = xw @ w + bias
+    else:
+        qkv = xw @ w
+    qkv = qkv.reshape(Bn, Lw, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    qn = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1,
+                                         keepdims=True), 1e-12).astype(q.dtype)
+    kn = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
+                                         keepdims=True), 1e-12).astype(k.dtype)
+    attn = jnp.einsum("bnld,bnmd->bnlm", qn, kn,
+                      preferred_element_type=jnp.float32)
+    logit_scale = jnp.exp(jnp.minimum(
+        p[f"{prefix}.logit_scale"].astype(jnp.float32), np.log(1.0 / 0.01)))
+    attn = attn * logit_scale[None]                        # (nh,1,1) broadcast
+
+    table = _cpb_table(p, prefix, st.window, nh)
+    bias = table[jnp.asarray(st.rel_index.reshape(-1))]
+    bias = bias.reshape(Lw, Lw, nh).transpose(2, 0, 1)
+    bias = 16.0 * jax.nn.sigmoid(bias)
+    attn = attn + bias[None]
+
+    if st.mask is not None:
+        nWin = st.mask.shape[0]
+        mask = jnp.asarray(st.mask, dtype=jnp.float32)
+        attn = attn.reshape(Bn // nWin, nWin, nh, Lw, Lw) + mask[None, :, None]
+        attn = attn.reshape(Bn, nh, Lw, Lw)
+
+    attn = jax.nn.softmax(attn, axis=-1).astype(xw.dtype)
+    out = jnp.einsum("bnlm,bnmd->bnld", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(Bn, Lw, C)
+    return L.linear(p, f"{prefix}.proj", out)
+
+
+def swin_block_v2(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
+                  eps: float, rng=None, dropout_active: bool = False,
+                  droppath_active: bool = False) -> jnp.ndarray:
+    """Post-norm Swin-v2 block (reference: swin_transformer_v2.py:272-311)."""
+    B, H, W, C = x.shape
+    wh, ww = st.window
+    sh, sw = st.shift
+
+    def next_rng():
+        nonlocal rng
+        if rng is None:
+            return None
+        rng, sub = jax.random.split(rng)
+        return sub
+
+    shortcut = x
+    if sh or sw:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+    xw = window_partition(x, wh, ww)
+    xw = window_attention_v2(p, f"{prefix}.attn", xw, st)
+    x = window_reverse(xw, wh, ww, H, W)
+    if sh or sw:
+        x = jnp.roll(x, shift=(sh, sw), axis=(1, 2))
+    y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
+    x = shortcut + L.drop_path(y, st.drop_path, next_rng(), droppath_active)
+
+    y = mlp(p, f"{prefix}.mlp", x, rng=next_rng(), dropout_active=dropout_active)
+    y = L.layer_norm(p, f"{prefix}.norm2", y, eps)
+    return x + L.drop_path(y, st.drop_path, next_rng(), droppath_active)

@@ -1,0 +1,408 @@
+"""TULIP Swin U-Net as a pure-functional JAX model.
+
+Parity target: class TULIP (tulip/model/tulip.py:530-755).  Parameters are a
+flat dict keyed by the reference torch state_dict names (JAX layouts — see
+models/layers.py), so the released .pth checkpoints import via pure layout
+transposes and activations can be diffed key-by-key.
+
+Architecture (base, durlar config): (B,1,32,2048) -> patch-embed (1,4) ->
+token grid 32x512x96 -> 4 encoder stages with patch merging -> 4x64x768 ->
+first patch expanding -> 3 decoder stages with linear-fused skips ->
+32x512x96 -> pixel-shuffle head (x4) -> 1x1 conv -> (B,1,128,2048).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, StageConfig, model_config
+from . import layers as L
+from .layers import Params
+from .swin import (
+    BlockStatic, make_block_static, swin_block_v1, swin_block_v2,
+)
+
+
+class TulipModel(NamedTuple):
+    """A model config bundled with its static per-block geometry."""
+    cfg: ModelConfig
+    enc_blocks: Tuple[Tuple[BlockStatic, ...], ...]
+    dec_blocks: Tuple[Tuple[BlockStatic, ...], ...]
+
+
+def build_model(cfg: ModelConfig) -> TulipModel:
+    def stage_blocks(stage: StageConfig):
+        # v2 blocks build their relative-position machinery from the resolved
+        # (possibly fallback) window; v1 keeps the original config window
+        # (see make_block_static docstring).
+        cw = stage.window if cfg.swin_v2 else cfg.window_size
+        return tuple(make_block_static(stage, j, cw) for j in range(stage.depth))
+
+    enc = tuple(stage_blocks(s) for s in cfg.encoder_stages)
+    dec = tuple(stage_blocks(s) for s in cfg.decoder_stages)
+    return TulipModel(cfg=cfg, enc_blocks=enc, dec_blocks=dec)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (torch-default-matching)
+# ---------------------------------------------------------------------------
+
+def _attn_params(key, dim, nh, window, qkv_bias, swin_v2, dtype):
+    ks = jax.random.split(key, 6)
+    p = {}
+    if swin_v2:
+        p["qkv"] = {"weight": L.trunc_normal(ks[0], (dim, dim * 3), 0.02, dtype)}
+        if qkv_bias:
+            p["q_bias"] = jnp.zeros((dim,), dtype)
+            p["v_bias"] = jnp.zeros((dim,), dtype)
+        p["logit_scale"] = jnp.full((nh, 1, 1), math.log(10.0), dtype)
+        p["cpb_mlp.0"] = L.torch_linear_trunc_init(ks[1], 2, 512, True, dtype)
+        p["cpb_mlp.2"] = L.torch_linear_trunc_init(ks[2], 512, nh, False, dtype)
+    else:
+        p["qkv"] = L.torch_linear_trunc_init(ks[0], dim, dim * 3, qkv_bias, dtype)
+        wh, ww = window
+        p["relative_position_bias_table"] = L.trunc_normal(
+            ks[1], ((2 * wh - 1) * (2 * ww - 1), nh), 0.02, dtype)
+    p["proj"] = L.torch_linear_trunc_init(ks[3], dim, dim, True, dtype)
+    return p
+
+
+def _block_params(key, dim, nh, window, cfg: ModelConfig, dtype):
+    ks = jax.random.split(key, 4)
+    hidden = int(dim * cfg.mlp_ratio)
+    return {
+        "norm1": L.layer_norm_init(dim, dtype),
+        "norm2": L.layer_norm_init(dim, dtype),
+        "attn": _attn_params(ks[0], dim, nh, window, cfg.qkv_bias,
+                             cfg.swin_v2, dtype),
+        "mlp": {
+            "fc1": L.torch_linear_trunc_init(ks[1], dim, hidden, True, dtype),
+            "fc2": L.torch_linear_trunc_init(ks[2], hidden, dim, True, dtype),
+        },
+    }
+
+
+def _merge_params(key, dim, swin_v2, dtype):
+    if swin_v2:  # PatchMergingV2: reduction then norm(2C) (swin_transformer_v2.py:341-346)
+        return {"reduction": L.torch_linear_trunc_init(key, 4 * dim, 2 * dim, False, dtype),
+                "norm": L.layer_norm_init(2 * dim, dtype)}
+    return {"norm": L.layer_norm_init(4 * dim, dtype),  # tulip.py:76-81
+            "reduction": L.torch_linear_trunc_init(key, 4 * dim, 2 * dim, False, dtype)}
+
+
+def _upsample_params(key, dim, cfg: ModelConfig, dtype):
+    if cfg.patch_unmerging:  # PatchUnmerging conv (tulip.py:109-123)
+        return {"expand": L.torch_conv_init(key, 2 * dim, dim, 1, 1, True, dtype)}
+    return {"expand": L.torch_linear_trunc_init(key, dim, 2 * dim, False, dtype),
+            "norm": L.layer_norm_init(dim // 2, dtype)}
+
+
+def _flatten(nested, prefix="", out=None):
+    if out is None:
+        out = {}
+    for k, v in nested.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            _flatten(v, key, out)
+        else:
+            out[key] = v
+    return out
+
+
+def init_params(key: jax.Array, cfg: ModelConfig,
+                dtype=jnp.float32) -> Params:
+    """Initialize the full parameter dict, matching the reference init
+    semantics (TULIP.init_weights + torch module defaults,
+    tulip/model/tulip.py:586-594)."""
+    nested: Dict = {}
+    n_keys = 16 + 8 * sum(cfg.depths)
+    keys = iter(jax.random.split(key, n_keys))
+
+    # patch embed (tulip.py:33-73)
+    kh = cfg.patch_size[0]
+    kw = 8 if cfg.circular_padding else cfg.patch_size[1]
+    nested["patch_embed"] = {
+        "proj": L.torch_conv_init(next(keys), cfg.embed_dim, cfg.in_chans,
+                                  kh, kw, True, dtype)}
+    if cfg.patch_norm:
+        nested["patch_embed"]["norm"] = L.layer_norm_init(cfg.embed_dim, dtype)
+
+    # encoder stages
+    for i, stage in enumerate(cfg.encoder_stages):
+        sp = {"blocks": {}}
+        for j in range(stage.depth):
+            sp["blocks"][str(j)] = _block_params(
+                next(keys), stage.dim, stage.num_heads,
+                stage.window if cfg.swin_v2 else cfg.window_size, cfg, dtype)
+        if i < cfg.num_layers - 1:
+            sp["downsample"] = _merge_params(next(keys), stage.dim, cfg.swin_v2, dtype)
+        nested[f"layers.{i}"] = sp
+
+    # first patch expanding at the bottleneck (tulip.py:562-565)
+    bottleneck_dim = cfg.embed_dim * 2 ** (cfg.num_layers - 1)
+    nested["first_patch_expanding"] = _upsample_params(
+        next(keys), bottleneck_dim, cfg, dtype)
+
+    # decoder stages
+    for i, stage in enumerate(cfg.decoder_stages):
+        sp = {"blocks": {}}
+        for j in range(stage.depth):
+            sp["blocks"][str(j)] = _block_params(
+                next(keys), stage.dim, stage.num_heads,
+                stage.window if cfg.swin_v2 else cfg.window_size, cfg, dtype)
+        if i < cfg.num_layers - 2:  # last up stage has Identity upsample
+            sp["upsample"] = _upsample_params(next(keys), stage.dim, cfg, dtype)
+        nested[f"layers_up.{i}"] = sp
+
+    # skip-connection fusers (tulip.py:682-688)
+    for i, stage in enumerate(cfg.decoder_stages):
+        nested[f"skip_connection_layers.{i}"] = L.torch_linear_trunc_init(
+            next(keys), stage.dim * 2, stage.dim, True, dtype)
+
+    nested["norm_up"] = L.layer_norm_init(cfg.embed_dim, dtype)
+
+    # head
+    if cfg.pixel_shuffle:  # PixelShuffleHead (tulip.py:161-178)
+        nested["ps_head"] = {"conv_expand.0": L.torch_conv_init(
+            next(keys), cfg.embed_dim * cfg.upscale_factor ** 2,
+            cfg.embed_dim, 1, 1, True, dtype)}
+    else:  # FinalPatchExpanding (tulip.py:144-159)
+        nested["final_patch_expanding"] = {
+            "expand": L.torch_linear_trunc_init(
+                next(keys), cfg.embed_dim,
+                cfg.upscale_factor ** 2 * cfg.embed_dim, False, dtype),
+            "norm": L.layer_norm_init(cfg.embed_dim, dtype)}
+
+    nested["decoder_pred"] = {"weight": L.torch_conv_init(
+        next(keys), cfg.in_chans, cfg.embed_dim, 1, 1, False, dtype)["weight"]}
+
+    return _flatten(nested)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _patch_embed(p: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 1) -> (B, H/ph, W/pw, C).  Circular padding pads W by (2, 2)
+    wrap and widens the kernel to (ph, 8) (reference: tulip.py:41, 59-61)."""
+    ph, pw = cfg.patch_size
+    H, W = x.shape[1], x.shape[2]
+    assert H % ph == 0 and W % pw == 0, (
+        f"input {H}x{W} not divisible by patch {cfg.patch_size}")
+    if cfg.circular_padding:
+        x = jnp.concatenate([x[:, :, -2:], x, x[:, :, :2]], axis=2)
+    x = L.conv2d(p, "patch_embed.proj", x, stride=(ph, pw))
+    if cfg.patch_norm:
+        x = L.layer_norm(p, "patch_embed.norm", x, cfg.layer_norm_eps)
+    return x
+
+
+def _patch_merging(p: Params, prefix: str, x: jnp.ndarray, swin_v2: bool,
+                   eps: float) -> jnp.ndarray:
+    """2x2 space-to-depth + linear 4C->2C.  Concat order (0,0),(1,0),(0,1),(1,1)
+    (reference: tulip.py:92-99 / swin_transformer_v2.py:361-365)."""
+    B, H, W, C = x.shape
+    if H % 2 or W % 2:
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+    x0 = x[:, 0::2, 0::2, :]
+    x1 = x[:, 1::2, 0::2, :]
+    x2 = x[:, 0::2, 1::2, :]
+    x3 = x[:, 1::2, 1::2, :]
+    x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+    if swin_v2:
+        x = L.linear(p, f"{prefix}.reduction", x)
+        return L.layer_norm(p, f"{prefix}.norm", x, eps)
+    x = L.layer_norm(p, f"{prefix}.norm", x, eps)
+    return L.linear(p, f"{prefix}.reduction", x)
+
+
+def _pixel_shuffle_nhwc(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """torch.nn.PixelShuffle in NHWC: channel index c*r*r + i*r + j maps to
+    output (h*r+i, w*r+j, c)."""
+    B, H, W, CR2 = x.shape
+    C = CR2 // (r * r)
+    x = x.reshape(B, H, W, C, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)        # B, H, r, W, r, C
+    return x.reshape(B, H * r, W * r, C)
+
+
+def _patch_unmerging(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv C->2C then PixelShuffle(2) -> C/2 at 2x res
+    (reference: tulip.py:109-123)."""
+    x = L.conv2d(p, f"{prefix}.expand", x)
+    return _pixel_shuffle_nhwc(x, 2)
+
+
+def _patch_expanding(p: Params, prefix: str, x: jnp.ndarray,
+                     eps: float) -> jnp.ndarray:
+    """Linear C->2C then rearrange '(P1 P2 C)' P1=P2=2, norm(C/2)
+    (reference: tulip.py:126-140).  Channel split order (p1, p2, c)."""
+    x = L.linear(p, f"{prefix}.expand", x)
+    B, H, W, C2 = x.shape
+    C = C2 // 4
+    x = x.reshape(B, H, W, 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * 2, W * 2, C)
+    return L.layer_norm(p, f"{prefix}.norm", x, eps)
+
+
+def _upsample(p: Params, prefix: str, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    if cfg.patch_unmerging:
+        return _patch_unmerging(p, prefix, x)
+    return _patch_expanding(p, prefix, x, cfg.layer_norm_eps)
+
+
+def _final_patch_expanding(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Linear C->s^2*C, rearrange P1=P2=s (channel order p1,p2,c), norm(C)
+    (reference: tulip.py:144-159)."""
+    s = cfg.upscale_factor
+    x = L.linear(p, "final_patch_expanding.expand", x)
+    B, H, W, _ = x.shape
+    C = cfg.embed_dim
+    x = x.reshape(B, H, W, s, s, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * s, W * s, C)
+    return L.layer_norm(p, "final_patch_expanding.norm", x, cfg.layer_norm_eps)
+
+
+def _ps_head(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """1x1 conv C->C*s^2 + LeakyReLU + PixelShuffle(s)
+    (reference: tulip.py:161-178)."""
+    x = L.conv2d(p, "ps_head.conv_expand.0", x)
+    x = L.leaky_relu(x)
+    return _pixel_shuffle_nhwc(x, cfg.upscale_factor)
+
+
+def _run_blocks(p: Params, prefix: str, x: jnp.ndarray, blocks, cfg: ModelConfig,
+                rng, dropout_active, droppath_active):
+    block_fn = swin_block_v2 if cfg.swin_v2 else swin_block_v1
+    for j, st in enumerate(blocks):
+        sub = None
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        if cfg.swin_v2:
+            x = block_fn(p, f"{prefix}.blocks.{j}", x, st,
+                         eps=cfg.layer_norm_eps, rng=sub,
+                         dropout_active=dropout_active,
+                         droppath_active=droppath_active)
+        else:
+            x = block_fn(p, f"{prefix}.blocks.{j}", x, st,
+                         eps=cfg.layer_norm_eps, drop=cfg.drop_rate,
+                         attn_drop=cfg.attn_drop_rate, rng=sub,
+                         dropout_active=dropout_active,
+                         droppath_active=droppath_active)
+    return x
+
+
+def forward_features(params: Params, model: TulipModel, x: jnp.ndarray, *,
+                     rng=None, dropout_active=False, droppath_active=False
+                     ) -> jnp.ndarray:
+    """Full forward from NHWC input image to NHWC prediction
+    (reference: TULIP.forward, tulip.py:702-731)."""
+    cfg = model.cfg
+    p = params
+
+    def next_rng():
+        nonlocal rng
+        if rng is None:
+            return None
+        rng, sub = jax.random.split(rng)
+        return sub
+
+    x = _patch_embed(p, cfg, x)
+    x = L.dropout(x, cfg.drop_rate, next_rng(), dropout_active)  # pos_drop
+
+    # encoder
+    x_save = []
+    for i in range(cfg.num_layers):
+        x_save.append(x)
+        x = _run_blocks(p, f"layers.{i}", x, model.enc_blocks[i], cfg,
+                        next_rng(), dropout_active, droppath_active)
+        if i < cfg.num_layers - 1:
+            x = _patch_merging(p, f"layers.{i}.downsample", x, cfg.swin_v2,
+                               cfg.layer_norm_eps)
+
+    x = _upsample(p, "first_patch_expanding", x, cfg)
+
+    # decoder with linear-fused skip connections (tulip.py:714-717)
+    for i in range(cfg.num_layers - 1):
+        skip = x_save[cfg.num_layers - i - 2]
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = L.linear(p, f"skip_connection_layers.{i}", x)
+        x = _run_blocks(p, f"layers_up.{i}", x, model.dec_blocks[i], cfg,
+                        next_rng(), dropout_active, droppath_active)
+        if i < cfg.num_layers - 2:
+            x = _upsample(p, f"layers_up.{i}.upsample", x, cfg)
+
+    x = L.layer_norm(p, "norm_up", x, cfg.layer_norm_eps)
+
+    if cfg.pixel_shuffle:
+        x = _ps_head(p, x, cfg)
+    else:
+        x = _final_patch_expanding(p, x, cfg)
+
+    return L.conv2d(p, "decoder_pred", x)   # (B, H_t, W_t, in_chans)
+
+
+def forward_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                 log_transform: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """L1 loss (+ de-logged pixel loss when log_transform)
+    (reference: tulip.py:690-700).  fp32 accumulation."""
+    pred32 = pred.astype(jnp.float32)
+    tgt32 = target.astype(jnp.float32)
+    loss = jnp.mean(jnp.abs(pred32 - tgt32))
+    if log_transform:
+        pixel_loss = jnp.mean(jnp.abs(jnp.expm1(pred32) - jnp.expm1(tgt32)))
+    else:
+        pixel_loss = loss
+    return loss, pixel_loss
+
+
+def apply_model(params: Params, model: TulipModel, x: jnp.ndarray,
+                target: Optional[jnp.ndarray] = None, *, mode: str = "eval",
+                rng: Optional[jax.Array] = None, mc_drop: bool = False,
+                compute_dtype=jnp.float32):
+    """Public forward.  ``x``/``target`` are NCHW (torch convention at the
+    API boundary, NHWC internally).  ``mode``:
+
+    - 'train': dropout + drop-path active (needs ``rng``)
+    - 'eval':  deterministic
+    - 'mc':    dropout active, drop-path inactive — the semantics of
+      model.eval() + enable_dropout (reference: engine_upsampling.py:39-43)
+
+    Returns pred (NCHW) if ``mc_drop`` else (pred, total_loss, pixel_loss),
+    matching TULIP.forward's return arity (tulip.py:733-737).
+    """
+    dropout_active = mode in ("train", "mc")
+    droppath_active = mode == "train"
+    x = jnp.transpose(x, (0, 2, 3, 1)).astype(compute_dtype)
+    # fp32 runs want exact fp32 matmuls (checkpoint parity); bf16 runs use the
+    # MXU's native bf16 path.  JAX's default matmul precision is the fast
+    # (bf16-passes) mode on both CPU and TPU, so pin it explicitly.
+    precision = "highest" if compute_dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(precision):
+        pred = forward_features(params, model, x, rng=rng,
+                                dropout_active=dropout_active,
+                                droppath_active=droppath_active)
+    pred = jnp.transpose(pred, (0, 3, 1, 2))
+    if mc_drop:
+        return pred
+    total_loss, pixel_loss = forward_loss(pred, target, model.cfg.log_transform)
+    return pred, total_loss, pixel_loss
+
+
+# ---------------------------------------------------------------------------
+# Factories (reference: tulip/model/tulip.py:739-755)
+# ---------------------------------------------------------------------------
+
+def tulip_base(**kwargs) -> TulipModel:
+    return build_model(model_config("tulip_base", **kwargs))
+
+
+def tulip_large(**kwargs) -> TulipModel:
+    return build_model(model_config("tulip_large", **kwargs))

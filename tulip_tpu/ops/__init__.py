@@ -1,0 +1,26 @@
+"""Kernel registry: every hot op has an XLA-native implementation and
+(where profitable) a Pallas one, switchable via config (--attn_impl /
+--chamfer_impl) with golden-activation tests pinning them to each other."""
+
+from .chamfer import min_sq_dists_xla
+
+_CHAMFER_IMPLS = {"xla": min_sq_dists_xla}
+
+
+def register_chamfer_impl(name, fn):
+    _CHAMFER_IMPLS[name] = fn
+
+
+def get_chamfer_impl(name: str = "auto"):
+    if name in ("auto", "xla"):
+        # pallas impl registers itself when importable on this backend
+        try:
+            from .pallas import chamfer as _pc  # noqa: F401
+            if name == "auto" and "pallas" in _CHAMFER_IMPLS:
+                import jax
+                if jax.default_backend() not in ("cpu",):
+                    return _CHAMFER_IMPLS["pallas"]
+        except Exception:
+            pass
+        return _CHAMFER_IMPLS["xla"]
+    return _CHAMFER_IMPLS[name]

@@ -1,0 +1,81 @@
+"""Device-mesh setup and sharding helpers.
+
+TPU-native replacement for the reference's DDP/NCCL stack
+(tulip/util/misc.py:253-285, main_lidar_upsampling.py:276-278): one global
+``jax.sharding.Mesh`` with a ``data`` axis (optionally a ``seq`` axis for
+width/sequence sharding of the token grid — the natural scale-out axis for
+windowed attention over cylindrical range images, see SURVEY.md section 5.7).
+
+Parameters are replicated, the batch is sharded over ``data``; XLA inserts
+psum for the gradient reduction inside the jitted train step, riding ICI
+within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .import dist
+
+
+def init_distributed_mode(args) -> None:
+    """torchrun-compatible startup (reference: misc.py:253-285).
+
+    The shipped bash_scripts launch via ``torchrun --nproc_per_node=N``.
+    Under single-controller JAX one process drives all chips, so when
+    torchrun spawns N>1 processes on one host, rank 0 claims all local
+    devices and ranks>0 exit cleanly — the scripts run unchanged and the
+    effective global batch (batch_size x nproc) is preserved by widening the
+    per-step batch (see main_lidar_upsampling.py shim).
+    """
+    rank = int(os.environ.get("RANK", "0"))
+    world = int(os.environ.get("WORLD_SIZE", "1"))
+    args.rank = rank
+    args.launcher_world_size = world
+    args.distributed = False
+    if world > 1 and rank > 0:
+        print(f"[tulip_tpu] torchrun rank {rank}/{world}: single-controller "
+              "JAX drives all chips from rank 0; this rank exits.")
+        raise SystemExit(0)
+    if int(os.environ.get("TULIP_TPU_MULTIHOST", "0")):
+        jax.distributed.initialize()
+        args.distributed = True
+    from ..utils.logger import setup_for_distributed
+    setup_for_distributed(dist.is_main_process())
+
+
+def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Build the global device mesh.  Default: 1-D data-parallel mesh over
+    all devices."""
+    devices = np.asarray(jax.devices())
+    if mesh_shape is None:
+        mesh_shape = (len(devices),)
+    if len(mesh_shape) > len(axis_names):
+        axis_names = tuple(axis_names) + tuple(
+            f"ax{i}" for i in range(len(mesh_shape) - len(axis_names)))
+    devices = devices[: int(np.prod(mesh_shape))].reshape(tuple(mesh_shape))
+    return Mesh(devices, tuple(axis_names)[: len(mesh_shape)])
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the 'data' axis."""
+    spec = [None] * 4
+    spec[0] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host numpy batch onto the mesh, sharded along dim 0."""
+    sharding = data_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), batch)
