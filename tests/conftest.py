@@ -7,6 +7,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
+import jax
+
+# The environment's sitecustomize registers the axon TPU plugin and overrides
+# jax_platforms to "axon,cpu"; pin tests to the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 import types
 import pytest

@@ -31,22 +31,18 @@ def test_npy_loader_keeps_range_channel(tmp_path):
 
 
 def test_rimg_loader_roundtrip(tmp_path):
-    """Write a synthetic .rimg in the CARLA format (W,H uint64 header +
-    fp16 payload in (W, H) order) and check orientation handling
-    (reference: datasets.py:181-193)."""
+    """Write a synthetic .rimg in the CARLA format ((H, W) uint64 header +
+    fp16 payload stored (W, H)) and check the loader reconstructs the
+    original (H, W) image (reference: datasets.py:181-193)."""
     H, W = 8, 16
     img = np.arange(H * W, dtype=np.float16).reshape(H, W)
     path = str(tmp_path / "a.rimg")
     with open(path, "wb") as f:
-        np.array([W, H], dtype=np.uint64).tofile(f)
-        # payload stored as (H=size[1], W=size[0]) in the file, i.e. the
-        # transpose of the logical (W, H) image the loader reconstructs
-        img.T.tofile(f)   # (W, H) on disk -> reshape(H?, ...) in loader
+        np.array([H, W], dtype=np.uint64).tofile(f)
+        np.flip(img).T.tofile(f)   # (W, H) payload
     out = rimg_loader(path)
-    # loader: reshape(size[1], size[0]) = (H, W) -> transpose -> (W, H)
-    #         -> flip both axes
-    expected = np.flip(img.T.reshape(H, W).transpose()).astype(np.float32)
-    np.testing.assert_array_equal(out, expected)
+    assert out.shape == (H, W)
+    np.testing.assert_array_equal(out, img.astype(np.float32))
 
 
 def test_transform_chain_matches_torch():

@@ -29,8 +29,10 @@ def npy_loader(path: str) -> np.ndarray:
 
 
 def rimg_loader(path: str) -> np.ndarray:
-    """CARLA .rimg: 2 uint64 header (W, H) then float16 payload; reshaped,
-    transposed and flipped on both axes (reference: tulip/util/datasets.py:181-193)."""
+    """CARLA .rimg: 2 uint64 header (size[0]=H, size[1]=W) then a float16
+    payload stored as (W, H); reshape(size[1], size[0]) -> (W, H), transpose
+    -> (H, W), then flip on both axes
+    (reference: tulip/util/datasets.py:181-193)."""
     with open(path, "rb") as f:
         size = np.fromfile(f, dtype=np.uint64, count=2)
         range_image = np.fromfile(f, dtype=np.float16)

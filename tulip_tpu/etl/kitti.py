@@ -26,7 +26,7 @@ def create_range_map(points_array: np.ndarray, image_rows_full: int,
     intensity = points_array[:, 3].copy()
 
     vertical_angle = np.arctan2(z, np.sqrt(x * x + y * y)) * 180.0 / np.pi
-    row_id = np.int_(np.round_((vertical_angle + ang_start_y) / ang_res_y))
+    row_id = np.int_(np.round((vertical_angle + ang_start_y) / ang_res_y))
 
     horizontal_angle = np.arctan2(x, y) * 180.0 / np.pi
     col_id = -np.int_((horizontal_angle - 90.0) / ang_res_x) + image_cols / 2
