@@ -1,0 +1,136 @@
+"""Throughput benchmark: range-images/sec/chip, TULIP-base DurLAR 32x2048 ->
+128x2048 (the BASELINE.json north-star config).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: ratio against BASELINE.json's published reference number
+(published.a100_pytorch_images_per_sec) when present; otherwise against the
+first recorded TPU measurement in BASELINE.json (published.first_tpu_record)
+so round-over-round progress is visible; otherwise null.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batch size (0 = sweep and pick best)")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--mode", choices=["infer", "train"], default="infer")
+    ap.add_argument("--img", nargs=2, type=int, default=(32, 2048))
+    ap.add_argument("--target", nargs=2, type=int, default=(128, 2048))
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tulip_tpu.config import model_config
+    from tulip_tpu.models.tulip import apply_model, build_model, init_params
+
+    cfg = model_config('tulip_base', img_size=tuple(args.img),
+                       target_img_size=tuple(args.target), patch_size=(1, 4),
+                       window_size=(2, 8), pixel_shuffle=True,
+                       circular_padding=True, log_transform=True,
+                       patch_unmerging=True)
+    model = build_model(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    n_chips = jax.device_count()
+
+    rng = np.random.default_rng(0)
+
+    def bench_batch(B):
+        low = jnp.asarray(rng.uniform(0, 1, (B, 1, *cfg.img_size)).astype(np.float32))
+        high = jnp.asarray(rng.uniform(0, 1, (B, 1, *cfg.target_img_size)).astype(np.float32))
+
+        if args.mode == "infer":
+            @jax.jit
+            def fn(p, lo, salt):
+                # `salt` forces a data dependence between iterations so the
+                # loop cannot be overlapped/elided by an async runtime.
+                pred = apply_model(p, model, lo + salt, None, mode="eval",
+                                   mc_drop=True, compute_dtype=jnp.bfloat16)
+                return pred, jnp.mean(pred) * 0.0
+            salt = jnp.zeros((), jnp.float32)
+            out, salt = fn(params, low, salt)
+            jax.block_until_ready((out, salt))
+            for _ in range(args.warmup):
+                out, salt = fn(params, low, salt)
+            jax.block_until_ready((out, salt))
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out, salt = fn(params, low, salt)
+            _ = float(salt)  # host round-trip: everything must have executed
+            dt = time.perf_counter() - t0
+        else:
+            from tulip_tpu.train.step import (init_train_state, make_optimizer,
+                                              make_train_step)
+            tx = make_optimizer(0.01)
+            state = init_train_state(params, tx)
+            step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
+            key = jax.random.PRNGKey(0)
+            state, _ = step(state, low, high, np.float32(1e-4), key)
+            jax.block_until_ready(state.params)
+            for _ in range(args.warmup):
+                state, _ = step(state, low, high, np.float32(1e-4), key)
+            jax.block_until_ready(state.params)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, _ = step(state, low, high, np.float32(1e-4), key)
+            jax.block_until_ready(state.params)
+            dt = time.perf_counter() - t0
+
+        ips = B * args.iters / dt
+        if args.verbose:
+            print(f"  batch {B}: {ips:.1f} img/s ({dt/args.iters*1000:.1f} ms/step)",
+                  file=sys.stderr)
+        return ips
+
+    if args.batch > 0:
+        best = bench_batch(args.batch)
+    else:
+        best = 0.0
+        for B in (1, 2, 4, 8, 16, 32):
+            try:
+                ips = bench_batch(B)
+            except Exception as e:  # OOM at large batch
+                if args.verbose:
+                    print(f"  batch {B}: failed ({type(e).__name__})",
+                          file=sys.stderr)
+                break
+            if ips > best:
+                best = ips
+            elif ips < best * 0.9:
+                break
+
+    value = best / n_chips
+
+    vs_baseline = None
+    baseline_path = os.path.join(REPO, "BASELINE.json")
+    if os.path.exists(baseline_path):
+        published = json.load(open(baseline_path)).get("published", {})
+        ref = published.get("a100_pytorch_images_per_sec") \
+            or published.get("first_tpu_record")
+        if ref:
+            vs_baseline = round(value / float(ref), 3)
+
+    metric = ("range-images/sec/chip 32->128 upsampling"
+              if args.mode == "infer"
+              else "train images/sec/chip 32->128")
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": "images/sec/chip", "vs_baseline": vs_baseline}))
+
+
+if __name__ == "__main__":
+    main()
