@@ -107,9 +107,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument('--eval_precision', default='fp32', type=str,
                         choices=['bf16', 'fp32'],
                         help='compute precision at evaluation time')
-    parser.add_argument('--attn_impl', default='xla', type=str,
-                        choices=['xla', 'pallas'],
-                        help='window-attention kernel implementation')
+    parser.add_argument('--attn_impl', default='grouped', type=str,
+                        choices=['xla', 'grouped', 'pallas'],
+                        help='window-attention kernel implementation '
+                             '(grouped = block-diagonal MXU-shaped fusion)')
     parser.add_argument('--chamfer_impl', default='auto', type=str,
                         choices=['auto', 'xla', 'pallas'],
                         help='chamfer-distance kernel implementation')
@@ -169,7 +170,7 @@ class ModelConfig:
     upscale_factor: int
     encoder_stages: Tuple[StageConfig, ...]
     decoder_stages: Tuple[StageConfig, ...]
-    attn_impl: str = 'xla'
+    attn_impl: str = 'grouped'
 
     @property
     def num_layers(self) -> int:
@@ -226,7 +227,7 @@ def model_config(
     drop_rate: float = 0.0,
     attn_drop_rate: float = 0.0,
     drop_path_rate: float = 0.1,
-    attn_impl: str = 'xla',
+    attn_impl: str = 'grouped',
 ) -> ModelConfig:
     """Build the static model config for 'tulip_base' / 'tulip_large'.
 

@@ -295,7 +295,8 @@ def _run_blocks(p: Params, prefix: str, x: jnp.ndarray, blocks, cfg: ModelConfig
                          eps=cfg.layer_norm_eps, drop=cfg.drop_rate,
                          attn_drop=cfg.attn_drop_rate, rng=sub,
                          dropout_active=dropout_active,
-                         droppath_active=droppath_active)
+                         droppath_active=droppath_active,
+                         attn_impl=cfg.attn_impl)
     return x
 
 

@@ -45,6 +45,36 @@ def train_one_epoch(train_step, state, data_loader, epoch: int, *,
     lr = 0.0
     from ..parallel.mesh import shard_batch
 
+    # Losses are read back one step late: jax dispatch is async, so reading
+    # the PREVIOUS step's scalars overlaps host work with device compute
+    # instead of stalling the pipeline every iteration (the reference
+    # synchronizes every step, engine:100; we keep its observable logging
+    # behaviour with one step of latency).
+    pending = None  # (iter_step, lr, total_loss_dev, pixel_loss_dev)
+
+    def drain(p):
+        it, it_lr, tl, pl = p
+        total_loss_value = float(tl)
+        pixel_loss_value = float(pl)
+        if not math.isfinite(total_loss_value):
+            print("Total Loss is {}, stopping training".format(total_loss_value))
+            print("Pixel Loss is {}, stopping training".format(pixel_loss_value))
+            sys.exit(1)
+        metric_logger.update(loss=total_loss_value)
+        metric_logger.update(lr=it_lr)
+        total_loss_value_reduce = dist.all_reduce_mean(total_loss_value)
+        pixel_loss_value_reduce = dist.all_reduce_mean(pixel_loss_value)
+        if log_writer is not None and (it + 1) % accum_iter == 0:
+            # epoch_1000x x-axis calibrates curves across batch sizes
+            # (reference: engine:110-118)
+            epoch_1000x = int((it / num_steps + epoch) * 1000)
+            if args.log_transform or getattr(args, "depth_scale_loss", False):
+                log_writer.add_scalar('train_loss_total',
+                                      total_loss_value_reduce, epoch_1000x)
+            log_writer.add_scalar('train_loss_pixel',
+                                  pixel_loss_value_reduce, epoch_1000x)
+            log_writer.add_scalar('lr', lr, epoch_1000x)
+
     for data_iter_step, (low, high) in enumerate(
             metric_logger.log_every(data_loader, print_freq, header)):
         # per-iteration LR (reference: engine:69-70, lr_sched.py:9-21)
@@ -63,29 +93,12 @@ def train_one_epoch(train_step, state, data_loader, epoch: int, *,
             state, batch["low"], batch["high"],
             np.float32(lr), step_rng)
 
-        total_loss_value = float(total_loss)
-        pixel_loss_value = float(pixel_loss)
+        if pending is not None:
+            drain(pending)
+        pending = (data_iter_step, lr, total_loss, pixel_loss)
 
-        if not math.isfinite(total_loss_value):
-            print("Total Loss is {}, stopping training".format(total_loss_value))
-            print("Pixel Loss is {}, stopping training".format(pixel_loss_value))
-            sys.exit(1)
-
-        metric_logger.update(loss=total_loss_value)
-        metric_logger.update(lr=lr)
-
-        total_loss_value_reduce = dist.all_reduce_mean(total_loss_value)
-        pixel_loss_value_reduce = dist.all_reduce_mean(pixel_loss_value)
-        if log_writer is not None and (data_iter_step + 1) % accum_iter == 0:
-            # epoch_1000x x-axis calibrates curves across batch sizes
-            # (reference: engine:110-118)
-            epoch_1000x = int((data_iter_step / num_steps + epoch) * 1000)
-            if args.log_transform or getattr(args, "depth_scale_loss", False):
-                log_writer.add_scalar('train_loss_total',
-                                      total_loss_value_reduce, epoch_1000x)
-            log_writer.add_scalar('train_loss_pixel',
-                                  pixel_loss_value_reduce, epoch_1000x)
-            log_writer.add_scalar('lr', lr, epoch_1000x)
+    if pending is not None:
+        drain(pending)
 
     metric_logger.synchronize_between_processes()
     print("Averaged stats:", metric_logger)
