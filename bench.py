@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--mode", choices=["infer", "train"], default="infer")
     ap.add_argument("--img", nargs=2, type=int, default=(32, 2048))
     ap.add_argument("--target", nargs=2, type=int, default=(128, 2048))
+    ap.add_argument("--attn", default="grouped",
+                    choices=["xla", "grouped", "pallas"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -43,7 +45,7 @@ def main():
                        target_img_size=tuple(args.target), patch_size=(1, 4),
                        window_size=(2, 8), pixel_shuffle=True,
                        circular_padding=True, log_transform=True,
-                       patch_unmerging=True)
+                       patch_unmerging=True, attn_impl=args.attn)
     model = build_model(cfg)
     params = init_params(jax.random.PRNGKey(0), cfg)
     n_chips = jax.device_count()
@@ -80,15 +82,15 @@ def main():
             state = init_train_state(params, tx)
             step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
             key = jax.random.PRNGKey(0)
-            state, _ = step(state, low, high, np.float32(1e-4), key)
-            jax.block_until_ready(state.params)
+            state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
+            _ = float(tl)   # host read: block_until_ready is unreliable here
             for _ in range(args.warmup):
-                state, _ = step(state, low, high, np.float32(1e-4), key)
-            jax.block_until_ready(state.params)
+                state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
+            _ = float(tl)
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                state, _ = step(state, low, high, np.float32(1e-4), key)
-            jax.block_until_ready(state.params)
+                state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
+            _ = float(tl)
             dt = time.perf_counter() - t0
 
         ips = B * args.iters / dt

@@ -263,7 +263,65 @@ def window_attention_grouped(p: Params, prefix: str, x: jnp.ndarray,
     return out
 
 
-ATTN_IMPLS = {"xla": window_attention_v1, "grouped": window_attention_grouped}
+def window_attention_pallas(p: Params, prefix: str, x: jnp.ndarray,
+                            st: BlockStatic, *, attn_drop: float = 0.0,
+                            proj_drop: float = 0.0, rng=None,
+                            dropout_active: bool = False,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused-VMEM window MSA (ops/pallas/window_msa.py) on the grouped
+    layout; numerically equivalent to window_attention_grouped.  Falls back
+    to the XLA grouped path when attention/proj dropout is active (shipped
+    configs have both rates at 0, tulip/model/tulip.py:741-743)."""
+    if dropout_active and (attn_drop > 0.0 or proj_drop > 0.0) and rng is not None:
+        return window_attention_grouped(
+            p, prefix, x, st, attn_drop=attn_drop, proj_drop=proj_drop,
+            rng=rng, dropout_active=dropout_active)
+
+    from ..ops.pallas.window_msa import fused_window_msa
+
+    B, H, W, C = x.shape
+    wh, ww = st.window
+    sh, sw = st.shift
+    nh = st.num_heads
+    hd = C // nh
+    Lw = wh * ww
+    G, GL = st.group, st.group * Lw
+    nH, nWg = H // wh, W // ww // G
+
+    if sh or sw:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+
+    xg = x.reshape(B, nH, wh, nWg, G, ww, C)
+    xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B, nH * nWg, GL, C)
+
+    # block-diag relative-position bias, fp32 (tiny gather, done in XLA)
+    table = p[f"{prefix}.relative_position_bias_table"].astype(jnp.float32)
+    bias = table[jnp.asarray(st.rel_index.reshape(-1))]
+    bias = bias.reshape(Lw, Lw, nh).transpose(2, 0, 1)
+    wt = st.win_token
+    bias_big = bias[:, jnp.asarray(wt[:, None]), jnp.asarray(wt[None, :])]
+
+    wqkv = p[f"{prefix}.qkv.weight"].astype(x.dtype)
+    bqkv = p.get(f"{prefix}.qkv.bias")
+    bqkv = (jnp.zeros((3 * C,), x.dtype) if bqkv is None
+            else bqkv.astype(x.dtype))
+    wproj = p[f"{prefix}.proj.weight"].astype(x.dtype)
+    bproj = p[f"{prefix}.proj.bias"].astype(x.dtype)
+
+    out = fused_window_msa(
+        xg, wqkv, bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
+        bias_big, jnp.asarray(st.group_mask),
+        nh=nh, scale_inv_sqrt_hd=hd ** -0.5, interpret=interpret)
+
+    out = out.reshape(B, nH, nWg, G, wh, ww, C)
+    out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
+    if sh or sw:
+        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+    return out
+
+
+ATTN_IMPLS = {"xla": window_attention_v1, "grouped": window_attention_grouped,
+              "pallas": window_attention_pallas}
 
 
 def mlp(p: Params, prefix: str, x: jnp.ndarray, *, drop: float = 0.0,
