@@ -309,8 +309,8 @@ def window_attention_pallas(p: Params, prefix: str, x: jnp.ndarray,
     bproj = p[f"{prefix}.proj.bias"].astype(x.dtype)
 
     out = fused_window_msa(
-        xg, wqkv, bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
-        bias_big, jnp.asarray(st.group_mask),
+        xg, None, None, wqkv, bqkv.reshape(1, -1), wproj,
+        bproj.reshape(1, -1), bias_big, jnp.asarray(st.group_mask),
         nh=nh, scale_inv_sqrt_hd=hd ** -0.5, interpret=interpret)
 
     out = out.reshape(B, nH, nWg, G, wh, ww, C)
@@ -318,6 +318,79 @@ def window_attention_pallas(p: Params, prefix: str, x: jnp.ndarray,
     if sh or sw:
         out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
     return out
+
+
+def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
+                            st: BlockStatic, eps: float) -> jnp.ndarray:
+    """First half of a Swin block fully fused: x + attn(LN1(x)).
+
+    The residual is added inside the kernel in grouped layout — valid because
+    roll/partition are permutations, so x + P^-1(attn(P(x))) ==
+    P^-1(P(x) + attn(P(x))).
+    """
+    from ..ops.pallas.window_msa import fused_window_msa
+
+    B, H, W, C = x.shape
+    wh, ww = st.window
+    sh, sw = st.shift
+    nh = st.num_heads
+    hd = C // nh
+    Lw = wh * ww
+    G, GL = st.group, st.group * Lw
+    nH, nWg = H // wh, W // ww // G
+
+    if sh or sw:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+    xg = x.reshape(B, nH, wh, nWg, G, ww, C)
+    xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B, nH * nWg, GL, C)
+
+    table = p[f"{prefix}.attn.relative_position_bias_table"].astype(jnp.float32)
+    bias = table[jnp.asarray(st.rel_index.reshape(-1))]
+    bias = bias.reshape(Lw, Lw, nh).transpose(2, 0, 1)
+    wt = st.win_token
+    bias_big = bias[:, jnp.asarray(wt[:, None]), jnp.asarray(wt[None, :])]
+
+    d = x.dtype
+    bqkv = p.get(f"{prefix}.attn.qkv.bias")
+    bqkv = jnp.zeros((3 * C,), d) if bqkv is None else bqkv.astype(d)
+
+    out = fused_window_msa(
+        xg,
+        p[f"{prefix}.norm1.weight"].astype(d).reshape(1, -1),
+        p[f"{prefix}.norm1.bias"].astype(d).reshape(1, -1),
+        p[f"{prefix}.attn.qkv.weight"].astype(d),
+        bqkv.reshape(1, -1),
+        p[f"{prefix}.attn.proj.weight"].astype(d),
+        p[f"{prefix}.attn.proj.bias"].astype(d).reshape(1, -1),
+        bias_big, jnp.asarray(st.group_mask),
+        nh=nh, scale_inv_sqrt_hd=hd ** -0.5, eps=eps)
+
+    out = out.reshape(B, nH, nWg, G, wh, ww, C)
+    out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
+    if sh or sw:
+        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+    return out
+
+
+def fused_swin_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
+                            st: BlockStatic, eps: float) -> jnp.ndarray:
+    """Whole Swin block as two fused Pallas kernels (inference path):
+    x = x + attn(LN1(x)); x = x + MLP(LN2(x))."""
+    from ..ops.pallas.mlp import fused_ln_mlp
+
+    x = fused_half_block_pallas(p, prefix, x, st, eps)
+    B, H, W, C = x.shape
+    d = x.dtype
+    y = fused_ln_mlp(
+        x.reshape(-1, C),
+        p[f"{prefix}.norm2.weight"].astype(d).reshape(1, -1),
+        p[f"{prefix}.norm2.bias"].astype(d).reshape(1, -1),
+        p[f"{prefix}.mlp.fc1.weight"].astype(d),
+        p[f"{prefix}.mlp.fc1.bias"].astype(d).reshape(1, -1),
+        p[f"{prefix}.mlp.fc2.weight"].astype(d),
+        p[f"{prefix}.mlp.fc2.bias"].astype(d).reshape(1, -1),
+        eps=eps)
+    return y.reshape(B, H, W, C)
 
 
 ATTN_IMPLS = {"xla": window_attention_v1, "grouped": window_attention_grouped,
@@ -345,6 +418,11 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
                   droppath_active: bool = False,
                   attn_impl: str = "grouped") -> jnp.ndarray:
     """Pre-norm Swin block (reference: tulip/model/tulip.py:326-352)."""
+    if attn_impl == "pallas" and not droppath_active and not (
+            dropout_active and (drop > 0.0 or attn_drop > 0.0)):
+        # inference fast path: two fused VMEM-resident kernels per block
+        return fused_swin_block_pallas(p, prefix, x, st, eps)
+
     def next_rng():
         nonlocal rng
         if rng is None:
@@ -354,6 +432,10 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
 
     shortcut = x
     y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
+    # pallas_call has no registered VJP: the training path (drop-path active)
+    # uses the XLA grouped impl, which autodiffs and matches numerically
+    if attn_impl == "pallas":
+        attn_impl = "grouped"
     attn_fn = ATTN_IMPLS[attn_impl]
     y = attn_fn(p, f"{prefix}.attn", y, st, attn_drop=attn_drop,
                 proj_drop=drop, rng=next_rng(),
