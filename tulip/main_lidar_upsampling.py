@@ -128,6 +128,23 @@ def main(args):
     print(f"Start training for {args.epochs} epochs")
     start_time = time.time()
     base_rng = jax.random.PRNGKey(args.seed)
+
+    # Preemption handling (new vs reference, SURVEY.md 5.3): on SIGTERM —
+    # the TPU-VM preemption signal — finish the current epoch, checkpoint,
+    # and exit cleanly so --resume / get_latest_checkpoint restarts it.
+    import signal
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        print(f"[tulip_tpu] received signal {signum}; will checkpoint and "
+              "exit at the end of this epoch")
+        preempted["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread
+
     for epoch in range(args.start_epoch, args.epochs):
         sampler_train.set_epoch(epoch)
         state, train_stats = train_one_epoch(
@@ -146,6 +163,12 @@ def main(args):
             with open(os.path.join(args.output_dir, "log.txt"), mode="a",
                       encoding="utf-8") as f:
                 f.write(json.dumps(log_stats) + "\n")
+
+        if preempted["flag"]:
+            if args.output_dir and dist.is_main_process():
+                ckpt_util.save_model(args, epoch, state.params, state.opt_state)
+                print(f"[tulip_tpu] preemption checkpoint written at epoch {epoch}")
+            break
 
     total_time = time.time() - start_time
     total_time_str = str(datetime.timedelta(seconds=int(total_time)))

@@ -44,10 +44,18 @@ _GATES_MC = {  # MCdrop-path gates (engine:437-442)
 }
 
 
+_FWD_CACHE: dict = {}  # jitted forwards keyed by (model id, flags)
+
+
 def _make_eval_forward(model: TulipModel, dataset: str, log_transform: bool,
                        gates, compute_dtype):
     """Jitted: forward + de-log + gate + loss map (device side of
-    engine:168-193)."""
+    engine:168-193).  Cached so repeated evaluate()/MCdrop() calls on the
+    same model reuse the compiled program."""
+    key = ("eval", id(model), dataset, log_transform, id(gates),
+           str(compute_dtype))
+    if key in _FWD_CACHE:
+        return _FWD_CACHE[key]
     lo, hi = gates.get(dataset, (None, None))
 
     @jax.jit
@@ -66,17 +74,24 @@ def _make_eval_forward(model: TulipModel, dataset: str, log_transform: bool,
         loss_map = jnp.abs(pred - high32)
         return pred, high32, low32, loss_map, jnp.mean(loss_map)
 
+    _FWD_CACHE[key] = fwd
     return fwd
 
 
 def _make_mc_forward(model: TulipModel, compute_dtype):
     """Jitted MC forward: one batch of dropout-active forwards
     (engine:409-421; model called with mc_drop=True, tulip.py:733-734)."""
+    key = ("mc", id(model), str(compute_dtype))
+    if key in _FWD_CACHE:
+        return _FWD_CACHE[key]
+
     @jax.jit
     def fwd(params, low_tiled, rng):
         return apply_model(params, model, low_tiled, None, mode="mc",
                            rng=rng, mc_drop=True,
                            compute_dtype=compute_dtype).astype(jnp.float32)
+
+    _FWD_CACHE[key] = fwd
     return fwd
 
 
@@ -269,24 +284,29 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
 
     lo, hi = _GATES_MC.get(dataset, (None, None))
 
-    @jax.jit
-    def postprocess(preds, low, high):
-        # preds: (iteration, C, H, W) stacked MC samples
-        pred_mean = jnp.mean(preds, axis=0, keepdims=True)
-        # torch.std default: Bessel-corrected (engine:423)
-        pred_std = jnp.std(preds, axis=0, keepdims=True, ddof=1)
-        noise_removal = pred_std > noise_threshold * pred_mean
-        pred = jnp.where(noise_removal, 0.0, pred_mean)
-        high32 = high.astype(jnp.float32)
-        low32 = low.astype(jnp.float32)
-        if args.log_transform:
-            pred = jnp.expm1(pred)
-            high32 = jnp.expm1(high32)
-            low32 = jnp.expm1(low32)
-        if lo is not None:
-            pred = jnp.where((pred >= lo) & (pred <= hi), pred, 0.0)
-        loss_map = jnp.abs(pred - high32)
-        return pred, high32, low32, loss_map, jnp.mean(loss_map)
+    post_key = ("post", dataset, args.log_transform, noise_threshold)
+    if post_key in _FWD_CACHE:
+        postprocess = _FWD_CACHE[post_key]
+    else:
+        @jax.jit
+        def postprocess(preds, low, high):
+            # preds: (iteration, C, H, W) stacked MC samples
+            pred_mean = jnp.mean(preds, axis=0, keepdims=True)
+            # torch.std default: Bessel-corrected (engine:423)
+            pred_std = jnp.std(preds, axis=0, keepdims=True, ddof=1)
+            noise_removal = pred_std > noise_threshold * pred_mean
+            pred = jnp.where(noise_removal, 0.0, pred_mean)
+            high32 = high.astype(jnp.float32)
+            low32 = low.astype(jnp.float32)
+            if args.log_transform:
+                pred = jnp.expm1(pred)
+                high32 = jnp.expm1(high32)
+                low32 = jnp.expm1(low32)
+            if lo is not None:
+                pred = jnp.where((pred >= lo) & (pred <= hi), pred, 0.0)
+            loss_map = jnp.abs(pred - high32)
+            return pred, high32, low32, loss_map, jnp.mean(loss_map)
+        _FWD_CACHE[post_key] = postprocess
 
     global_step = 0
     local_step = 0
@@ -301,12 +321,13 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
         high = jnp.asarray(batch[1]['sample'])
         global_step += 1
 
+        # fixed-size chunks (one compiled shape); surplus MC draws in the
+        # last chunk are sliced off, preserving the reference's exact
+        # iteration count (engine:411-421)
         chunks = []
         n_chunks = int(np.ceil(iteration / iteration_batch))
+        tiled = jnp.tile(low, (iteration_batch, 1, 1, 1))
         for i in range(n_chunks):
-            input_batch = iteration_batch if (iteration - i * iteration_batch) > iteration_batch \
-                else (iteration - i * iteration_batch)
-            tiled = jnp.tile(low, (input_batch, 1, 1, 1))
             rng = jax.random.fold_in(jax.random.fold_in(base_rng, global_step), i)
             chunks.append(mc_fwd(params, tiled, rng))
         preds = jnp.concatenate(chunks, axis=0)[:iteration]

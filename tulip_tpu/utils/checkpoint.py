@@ -38,11 +38,16 @@ _LEGACY_REMAP = {
 }
 
 
-def import_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    """Convert a reference torch state_dict to our flat JAX param dict."""
+def import_torch_state_dict(state_dict: Dict[str, Any],
+                            legacy_remap: bool = True) -> Dict[str, np.ndarray]:
+    """Convert a reference torch state_dict to our flat JAX param dict.
+    ``legacy_remap`` applies the TULIP-checkpoint key remaps (misc.py:370-379);
+    disable it for non-TULIP models (e.g. the Swin-v2 classifier, whose
+    'head' is a real classification head)."""
     params: Dict[str, np.ndarray] = {}
     for k, v in state_dict.items():
-        k = _LEGACY_REMAP.get(k, k)
+        if legacy_remap:
+            k = _LEGACY_REMAP.get(k, k)
         if any(k.endswith(s) for s in _DROP_SUFFIXES):
             continue
         arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
