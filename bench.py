@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--mode", choices=["infer", "train"], default="infer")
     ap.add_argument("--img", nargs=2, type=int, default=(32, 2048))
     ap.add_argument("--target", nargs=2, type=int, default=(128, 2048))
-    ap.add_argument("--attn", default="grouped",
+    ap.add_argument("--attn", default="pallas",
                     choices=["xla", "grouped", "pallas"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -79,7 +79,10 @@ def main():
             from tulip_tpu.train.step import (init_train_state, make_optimizer,
                                               make_train_step)
             tx = make_optimizer(0.01)
-            state = init_train_state(params, tx)
+            # fresh param buffers per sweep point: the donated train state
+            # consumes them (donate_argnums), deleting the shared originals
+            params_copy = jax.tree_util.tree_map(jnp.array, params)
+            state = init_train_state(params_copy, tx)
             step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
             key = jax.random.PRNGKey(0)
             state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
@@ -108,8 +111,8 @@ def main():
                 ips = bench_batch(B)
             except Exception as e:  # OOM at large batch
                 if args.verbose:
-                    print(f"  batch {B}: failed ({type(e).__name__})",
-                          file=sys.stderr)
+                    print(f"  batch {B}: failed ({type(e).__name__}: "
+                          f"{str(e)[:300]})", file=sys.stderr)
                 break
             if ips > best:
                 best = ips
