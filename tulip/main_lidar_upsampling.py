@@ -36,6 +36,9 @@ def main(args):
 
     init_distributed_mode(args)
 
+    from tulip_tpu.ops import set_default_chamfer_impl
+    set_default_chamfer_impl(args.chamfer_impl)
+
     print('job dir: {}'.format(os.path.dirname(os.path.realpath(__file__))))
     print("{}".format(args).replace(', ', ',\n'))
 

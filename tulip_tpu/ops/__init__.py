@@ -5,13 +5,22 @@
 from .chamfer import min_sq_dists_xla
 
 _CHAMFER_IMPLS = {"xla": min_sq_dists_xla}
+_DEFAULT_CHAMFER = "auto"
 
 
 def register_chamfer_impl(name, fn):
     _CHAMFER_IMPLS[name] = fn
 
 
-def get_chamfer_impl(name: str = "auto"):
+def set_default_chamfer_impl(name: str) -> None:
+    """Wire the --chamfer_impl CLI flag (tulip_tpu/config.py)."""
+    global _DEFAULT_CHAMFER
+    _DEFAULT_CHAMFER = name
+
+
+def get_chamfer_impl(name: str = None):
+    if name is None:
+        name = _DEFAULT_CHAMFER
     if name in ("auto", "xla"):
         # pallas impl registers itself when importable on this backend
         try:

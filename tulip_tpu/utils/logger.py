@@ -110,6 +110,7 @@ class MetricLogger:
         log_msg = self.delimiter.join([
             header, '[{0' + space_fmt + '}/{1}]', 'eta: {eta}', '{meters}',
             'time: {time}', 'data: {data}'])
+        MB = 1024.0 * 1024.0
         for obj in iterable:
             data_time.update(time.time() - end)
             yield obj
@@ -117,9 +118,17 @@ class MetricLogger:
             if i % print_freq == 0 or i == len(iterable) - 1:
                 eta_seconds = iter_time.global_avg * (len(iterable) - i)
                 eta_string = str(datetime.timedelta(seconds=int(eta_seconds)))
-                print(log_msg.format(i, len(iterable), eta=eta_string,
+                msg = log_msg.format(i, len(iterable), eta=eta_string,
                                      meters=str(self), time=str(iter_time),
-                                     data=str(data_time)))
+                                     data=str(data_time))
+                # TPU analogue of the reference's max-GPU-mem print
+                # (misc.py:142-158): peak HBM in use on device 0
+                from .profiler import device_memory_stats
+                stats = device_memory_stats()
+                if stats.get("peak_bytes_in_use"):
+                    msg += self.delimiter + "max mem: {:.0f}".format(
+                        stats["peak_bytes_in_use"] / MB)
+                print(msg)
             i += 1
             end = time.time()
         total_time = time.time() - start_time
