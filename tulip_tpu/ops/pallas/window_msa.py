@@ -47,28 +47,38 @@ def _kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
 
-    # Per-(group, head) 2-D slices only: Mosaic does not support reshapes
-    # that split the lane (minor) dimension, so heads are peeled with static
-    # lane slices and the (GL, GL) dots stay 2-D.
-    outs = []
+    # Head peeling via 2-D lane slices (Mosaic cannot split the lane dim in
+    # a reshape), then stacked into (BG*nh, GL, hd) so QK^T / PV run as two
+    # batched dots and the softmax is one vectorized region — the per-(g, h)
+    # op-chain version serialized ~2x slower on the MXU.
+    qs, ks, vs = [], [], []
     for g in range(BG):
         rows = slice(g * GL, (g + 1) * GL)
-        head_outs = []
         for h in range(nh):
-            q = qkv[rows, h * hd:(h + 1) * hd]
-            k = qkv[rows, C + h * hd:C + (h + 1) * hd]
-            v = qkv[rows, 2 * C + h * hd:2 * C + (h + 1) * hd]
-            attn = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (GL, GL) fp32
-            attn = attn * scale + bias_ref[h]
-            attn = attn + (gmask_ref[g] if mask_per_group else gmask_ref[0])
-            attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-            e = jnp.exp(attn)
-            pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-            head_outs.append(jnp.dot(pr, v,
-                                     preferred_element_type=jnp.float32))
-        outs.append(jnp.concatenate(head_outs, axis=-1))      # (GL, C)
+            qs.append(qkv[rows, h * hd:(h + 1) * hd])
+            ks.append(qkv[rows, C + h * hd:C + (h + 1) * hd])
+            vs.append(qkv[rows, 2 * C + h * hd:2 * C + (h + 1) * hd])
+    q = jnp.stack(qs)                                         # (BG*nh, GL, hd)
+    k = jnp.stack(ks)
+    v = jnp.stack(vs)
+
+    attn = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # (BG*nh, GL, GL)
+    attn = attn * scale + jnp.tile(bias_ref[:], (BG, 1, 1))
+    if mask_per_group:
+        attn = attn + jnp.repeat(gmask_ref[:], nh, axis=0)
+    else:
+        attn = attn + gmask_ref[0][None]
+    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+    e = jnp.exp(attn)
+    pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+
+    pv = jax.lax.dot_general(
+        pr, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # (BG*nh, GL, hd)
+    outs = [jnp.concatenate([pv[g * nh + h] for h in range(nh)], axis=-1)
+            for g in range(BG)]
     out = jnp.concatenate(outs, axis=0).astype(x.dtype)       # (BG*GL, C)
 
     out = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
@@ -95,10 +105,17 @@ def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
     mask_per_group = gmask.shape[0] != 1
     interpret = interpret or jax.default_backend() == "cpu"
 
-    # groups per grid step: big enough that grid-step overhead amortizes
-    # (hundreds of tiny steps dominated wall time), bounded by VMEM (~4 MB of
-    # transient attention buffers per step)
-    BG = max(1, min(nG, 3072 // C, 32))
+    # groups per grid step: big enough that grid-step overhead amortizes,
+    # bounded by an explicit per-step VMEM estimate (fp32 qkv intermediate,
+    # fp32 logits + exp + bf16 probs, stacked per-head q/k/v, io tiles)
+    nh_ = nh
+    hd_ = C // nh_
+    per_group = (GL * 3 * C * 4                 # qkv fp32
+                 + nh_ * GL * GL * 10           # logits f32, exp f32, probs bf16
+                 + 3 * nh_ * GL * hd_ * 4       # stacked q/k/v (+copies)
+                 + GL * C * 8)                  # x/out tiles + slack
+    budget = 10 * 1024 * 1024
+    BG = max(1, min(nG, budget // per_group, 32))
     while nG % BG:
         BG -= 1
 
