@@ -278,6 +278,37 @@ def _ps_head(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     return _pixel_shuffle_nhwc(x, cfg.upscale_factor)
 
 
+def _ps_head_pred_fused(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """ps_head + decoder_pred as one fused Pallas two-matmul kernel.
+
+    The 1x1 prediction conv commutes with PixelShuffle: subpixel s = i*s+j of
+    output pixel (h, w) reads expanded channels {c*s^2 + s : c}, so folding
+    decoder_pred into a sparse (C*s^2, s^2) second matmul avoids ever
+    materializing the (B, H, W, C*s^2) expansion in HBM.  Numerically equal
+    to _ps_head + decoder_pred (matmul reassociation only).
+    """
+    from ..ops.pallas.mlp import fused_two_matmul
+
+    B, H, W, C = x.shape
+    s = cfg.upscale_factor
+    r2 = s * s
+    d = x.dtype
+
+    w1 = p["ps_head.conv_expand.0.weight"].reshape(C, C * r2).astype(d)
+    b1 = p["ps_head.conv_expand.0.bias"].reshape(1, C * r2).astype(d)
+    wpred = p["decoder_pred.weight"].reshape(C).astype(d)   # HWIO (1,1,C,1)
+    rows = jnp.arange(C * r2)
+    w2 = jnp.zeros((C * r2, r2), d).at[rows, rows % r2].set(
+        jnp.repeat(wpred, r2))
+    b2 = jnp.zeros((1, r2), d)
+
+    out = fused_two_matmul(x.reshape(-1, C), None, None, w1, b1, w2, b2,
+                           act="leaky", fuse_ln=False, residual=False)
+    out = out.reshape(B, H, W, s, s)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(B, H * s, W * s, 1)
+    return out
+
+
 def _run_blocks(p: Params, prefix: str, x: jnp.ndarray, blocks, cfg: ModelConfig,
                 rng, dropout_active, droppath_active):
     block_fn = swin_block_v2 if cfg.swin_v2 else swin_block_v1
@@ -342,7 +373,11 @@ def forward_features(params: Params, model: TulipModel, x: jnp.ndarray, *,
 
     x = L.layer_norm(p, "norm_up", x, cfg.layer_norm_eps)
 
+    fused_inference = (cfg.attn_impl == "pallas" and not droppath_active
+                       and not (dropout_active and cfg.drop_rate > 0.0))
     if cfg.pixel_shuffle:
+        if fused_inference and cfg.in_chans == 1:
+            return _ps_head_pred_fused(p, x, cfg)
         x = _ps_head(p, x, cfg)
     else:
         x = _final_patch_expanding(p, x, cfg)

@@ -43,25 +43,27 @@ class SmoothedValue:
 
     @property
     def median(self):
-        return float(np.median(list(self.deque)))
+        return float(np.median(list(self.deque))) if self.deque else 0.0
 
     @property
     def avg(self):
-        return float(np.mean(list(self.deque)))
+        return float(np.mean(list(self.deque))) if self.deque else 0.0
 
     @property
     def global_avg(self):
-        return self.total / self.count
+        return self.total / self.count if self.count else 0.0
 
     @property
     def max(self):
-        return max(self.deque)
+        return max(self.deque) if self.deque else 0.0
 
     @property
     def value(self):
-        return self.deque[-1]
+        return self.deque[-1] if self.deque else 0.0
 
     def __str__(self):
+        if not self.deque:
+            return "--"  # no samples yet (losses are read one step late)
         return self.fmt.format(median=self.median, avg=self.avg,
                                global_avg=self.global_avg, max=self.max,
                                value=self.value)
