@@ -13,16 +13,20 @@ from tulip_tpu.config import model_config
 from tulip_tpu.models.tulip import apply_model, build_model, init_params
 
 
+@pytest.mark.parametrize("impl", ["grouped", "pallas"])
 @pytest.mark.parametrize("variant,img,target", [
     ("tulip_base", (32, 256), (128, 256)),
     ("tulip_large", (16, 1024), (64, 1024)),   # exercises window fallback
 ])
-def test_grouped_matches_per_window(variant, img, target):
+def test_impls_match_per_window(variant, img, target, impl):
+    """'grouped' (XLA block-diag) and 'pallas' (fused kernels incl. the
+    folded ps_head+decoder_pred) must match the reference-shaped per-window
+    'xla' implementation."""
     cfg_g = model_config(variant, img_size=img, target_img_size=target,
                          patch_size=(1, 4), window_size=(2, 8),
                          pixel_shuffle=True, circular_padding=True,
                          log_transform=True, patch_unmerging=True,
-                         attn_impl="grouped")
+                         attn_impl=impl)
     cfg_x = dataclasses.replace(cfg_g, attn_impl="xla")
     mg, mx = build_model(cfg_g), build_model(cfg_x)
     params = init_params(jax.random.PRNGKey(0), cfg_g)

@@ -278,8 +278,9 @@ def _ps_head(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     return _pixel_shuffle_nhwc(x, cfg.upscale_factor)
 
 
-def _ps_head_pred_fused(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    """ps_head + decoder_pred as one fused Pallas two-matmul kernel.
+def _ps_head_pred_fused(p: Params, x: jnp.ndarray, cfg: ModelConfig,
+                        with_norm_up: bool = False) -> jnp.ndarray:
+    """[norm_up +] ps_head + decoder_pred as one fused Pallas kernel.
 
     The 1x1 prediction conv commutes with PixelShuffle: subpixel s = i*s+j of
     output pixel (h, w) reads expanded channels {c*s^2 + s : c}, so folding
@@ -302,8 +303,13 @@ def _ps_head_pred_fused(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndar
         jnp.repeat(wpred, r2))
     b2 = jnp.zeros((1, r2), d)
 
-    out = fused_two_matmul(x.reshape(-1, C), None, None, w1, b1, w2, b2,
-                           act="leaky", fuse_ln=False, residual=False)
+    lnw = lnb = None
+    if with_norm_up:
+        lnw = p["norm_up.weight"].astype(d).reshape(1, -1)
+        lnb = p["norm_up.bias"].astype(d).reshape(1, -1)
+    out = fused_two_matmul(x.reshape(-1, C), lnw, lnb, w1, b1, w2, b2,
+                           act="leaky", fuse_ln=with_norm_up, residual=False,
+                           eps=cfg.layer_norm_eps)
     out = out.reshape(B, H, W, s, s)
     out = out.transpose(0, 1, 3, 2, 4).reshape(B, H * s, W * s, 1)
     return out
@@ -371,13 +377,14 @@ def forward_features(params: Params, model: TulipModel, x: jnp.ndarray, *,
         if i < cfg.num_layers - 2:
             x = _upsample(p, f"layers_up.{i}.upsample", x, cfg)
 
-    x = L.layer_norm(p, "norm_up", x, cfg.layer_norm_eps)
-
     fused_inference = (cfg.attn_impl == "pallas" and not droppath_active
                        and not (dropout_active and cfg.drop_rate > 0.0))
+    if cfg.pixel_shuffle and fused_inference and cfg.in_chans == 1:
+        # norm_up + ps_head + decoder_pred in one fused kernel
+        return _ps_head_pred_fused(p, x, cfg, with_norm_up=True)
+
+    x = L.layer_norm(p, "norm_up", x, cfg.layer_norm_eps)
     if cfg.pixel_shuffle:
-        if fused_inference and cfg.in_chans == 1:
-            return _ps_head_pred_fused(p, x, cfg)
         x = _ps_head(p, x, cfg)
     else:
         x = _final_patch_expanding(p, x, cfg)

@@ -42,7 +42,8 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     if act == "gelu":
         h = jax.nn.gelu(h, approximate=h.dtype == jnp.bfloat16)
     elif act == "leaky":
-        h = jnp.where(h >= 0, h, 0.01 * h)
+        # max/min form: Mosaic lacks bf16 compare+select on this target
+        h = jnp.maximum(h, 0) + 0.01 * jnp.minimum(h, 0)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     o = o + b2_ref[0].astype(jnp.float32)
     if residual:
