@@ -40,6 +40,27 @@ def test_impls_match_per_window(variant, img, target, impl):
     np.testing.assert_allclose(float(lg), float(lx), atol=1e-6)
 
 
+def test_bf16_inference_close_to_fp32():
+    """bf16 fused inference (tanh GELU, bf16 softmax) must stay within bf16
+    tolerance of the fp32 reference path."""
+    cfg = model_config("tulip_base", img_size=(16, 256),
+                       target_img_size=(64, 256), patch_size=(1, 4),
+                       window_size=(2, 8), pixel_shuffle=True,
+                       circular_padding=True, log_transform=True,
+                       patch_unmerging=True, attn_impl="pallas")
+    model = build_model(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 1, 16, 256)).astype(np.float32))
+    p32 = apply_model(params, model, x, None, mode="eval", mc_drop=True,
+                      compute_dtype=jnp.float32)
+    p16 = apply_model(params, model, x, None, mode="eval", mc_drop=True,
+                      compute_dtype=jnp.bfloat16)
+    err = np.abs(np.asarray(p16, np.float32) - np.asarray(p32))
+    scale = np.abs(np.asarray(p32)).mean() + 1e-6
+    assert err.mean() / scale < 0.05, (err.mean(), scale)
+
+
 def test_group_sizing():
     """Group size adapts to the per-stage grid (<=8 windows, 128 tokens)."""
     from tulip_tpu.models.swin import make_block_static

@@ -62,14 +62,20 @@ def _kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     k = jnp.stack(ks)
     v = jnp.stack(vs)
 
+    # softmax dtype follows the compute dtype: fp32 inputs (checkpoint-parity
+    # eval) keep fp32 logits; bf16 inference halves the dominant VMEM buffer
+    # (allowing 2x groups per step) and doubles VPU throughput
+    sm_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     attn = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                   # (BG*nh, GL, GL)
-    attn = attn * scale + jnp.tile(bias_ref[:], (BG, 1, 1))
+        preferred_element_type=jnp.float32)   # Mosaic matmul acc is 32-bit
+    attn = attn.astype(sm_t)                                  # (BG*nh, GL, GL)
+    attn = attn * jnp.asarray(scale, sm_t) \
+        + jnp.tile(bias_ref[:], (BG, 1, 1)).astype(sm_t)
     if mask_per_group:
-        attn = attn + jnp.repeat(gmask_ref[:], nh, axis=0)
+        attn = attn + jnp.repeat(gmask_ref[:], nh, axis=0).astype(sm_t)
     else:
-        attn = attn + gmask_ref[0][None]
+        attn = attn + gmask_ref[0][None].astype(sm_t)
     attn = attn - jnp.max(attn, axis=-1, keepdims=True)
     e = jnp.exp(attn)
     pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
@@ -110,8 +116,9 @@ def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
     # fp32 logits + exp + bf16 probs, stacked per-head q/k/v, io tiles)
     nh_ = nh
     hd_ = C // nh_
-    per_group = (GL * 3 * C * 4                 # qkv fp32
-                 + nh_ * GL * GL * 10           # logits f32, exp f32, probs bf16
+    sm_bytes = 4 if xg.dtype == jnp.float32 else 2
+    per_group = (GL * 3 * C * 4                 # qkv fp32 accumulate
+                 + nh_ * GL * GL * (4 + sm_bytes + 2)  # logits, exp, probs
                  + 3 * nh_ * GL * hd_ * 4       # stacked q/k/v (+copies)
                  + GL * C * 8)                  # x/out tiles + slack
     budget = 10 * 1024 * 1024
