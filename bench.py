@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--target", nargs=2, type=int, default=(128, 2048))
     ap.add_argument("--attn", default="pallas",
                     choices=["xla", "grouped", "pallas"])
+    ap.add_argument("--model", default="tulip_base",
+                    choices=["tulip_base", "tulip_large"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -41,7 +43,7 @@ def main():
     from tulip_tpu.config import model_config
     from tulip_tpu.models.tulip import apply_model, build_model, init_params
 
-    cfg = model_config('tulip_base', img_size=tuple(args.img),
+    cfg = model_config(args.model, img_size=tuple(args.img),
                        target_img_size=tuple(args.target), patch_size=(1, 4),
                        window_size=(2, 8), pixel_shuffle=True,
                        circular_padding=True, log_transform=True,

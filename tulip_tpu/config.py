@@ -107,7 +107,7 @@ def get_args_parser() -> argparse.ArgumentParser:
     parser.add_argument('--eval_precision', default='fp32', type=str,
                         choices=['bf16', 'fp32'],
                         help='compute precision at evaluation time')
-    parser.add_argument('--attn_impl', default='grouped', type=str,
+    parser.add_argument('--attn_impl', default='pallas', type=str,
                         choices=['xla', 'grouped', 'pallas'],
                         help='window-attention kernel implementation '
                              '(grouped = block-diagonal MXU-shaped fusion)')
