@@ -111,11 +111,13 @@ def main():
         for B in (1, 2, 4, 8, 16, 32):
             try:
                 ips = bench_batch(B)
-            except Exception as e:  # OOM at large batch
+            except Exception as e:
                 if args.verbose:
                     print(f"  batch {B}: failed ({type(e).__name__}: "
                           f"{str(e)[:300]})", file=sys.stderr)
-                break
+                if best > 0:   # OOM after a success: stop the sweep
+                    break
+                continue       # small-batch compile quirk: keep sweeping
             if ips > best:
                 best = ips
             elif ips < best * 0.9:
