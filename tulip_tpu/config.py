@@ -299,6 +299,13 @@ def model_config(
 def model_config_from_args(args) -> ModelConfig:
     """Build a ModelConfig from parsed CLI args (the reference wires the same
     argparse fields into the TULIP constructor at main_lidar_upsampling.py:221-230)."""
+    attn_impl = getattr(args, 'attn_impl', 'grouped')
+    if attn_impl == 'pallas':
+        import jax
+        if jax.default_backend() == 'cpu':
+            # Pallas kernels run in (slow) interpreter mode on CPU; the XLA
+            # grouped implementation is numerically identical there
+            attn_impl = 'grouped'
     return model_config(
         model_select=args.model_select,
         img_size=tuple(args.img_size_low_res),
@@ -311,5 +318,5 @@ def model_config_from_args(args) -> ModelConfig:
         swin_v2=args.swin_v2,
         log_transform=args.log_transform,
         patch_unmerging=args.patch_unmerging,
-        attn_impl=getattr(args, 'attn_impl', 'xla'),
+        attn_impl=attn_impl,
     )
