@@ -21,7 +21,14 @@ def bin_loader(path: str) -> np.ndarray:
 
 def npy_loader(path: str) -> np.ndarray:
     """.npy (H, W, 2) range+intensity; keeps only channel 0 (range)
-    (reference: tulip/util/datasets.py:175-179)."""
+    (reference: tulip/util/datasets.py:175-179).
+
+    Uses the native C++ reader (data/native) when available — single-pass,
+    GIL-free — with a transparent numpy fallback producing identical bytes."""
+    from . import native
+    out = native.read_range_map(path)
+    if out is not None:
+        return out
     with open(path, "rb") as f:
         range_intensity_map = np.load(f)
         range_map = range_intensity_map[..., 0]
