@@ -43,15 +43,28 @@ def generate_dataset(args, is_train):
 class RangeMapFolder:
     """Flat-folder dataset of range maps; with ``class_dir=False`` files live
     directly under ``root`` (reference: tulip/util/datasets.py:196-242).
-    Items are dicts {'sample', 'class', 'name'}."""
+    Items are dicts {'sample', 'class', 'name'}.
+
+    ``native_spec``: optional kwargs for the fused C++ read+transform path
+    (tulip_tpu/data/native.read_range_map); when set and the native library
+    is available, the whole loader+transform chain runs in one native pass
+    (``post_transform`` still applies afterwards, e.g. the roll augment)."""
 
     def __init__(self, root: str, transform: Optional[Callable] = None,
                  loader: Callable[[str], Any] = npy_loader,
-                 class_dir: bool = True):
+                 class_dir: bool = True,
+                 native_spec: Optional[dict] = None,
+                 post_transform: Optional[Callable] = None):
         self.root = root
         self.transform = transform
         self.loader = loader
         self.class_dir = class_dir
+        # log1p stays inside the C++ pass: scalar log1pf beats numpy's
+        # log1p ~6x on weak single-core hosts, and the pthread pool scales
+        # it on real machines (within 1e-7 of the numpy fallback)
+        self.native_spec = dict(native_spec) if native_spec else None
+        self.native_log = False
+        self.post_transform = post_transform
         self.classes, self.class_to_idx = self._find_classes(root)
         self.samples = self._make_dataset(root)
         self.imgs = self.samples
@@ -85,11 +98,59 @@ class RangeMapFolder:
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         path, target = self.samples[index]
-        sample = self.loader(path)
         name = os.path.basename(path)
-        if self.transform is not None:
-            sample = self.transform(sample)
+        sample = None
+        if self.native_spec is not None:
+            from . import native
+            out = native.read_range_map(path, **self.native_spec)
+            if out is not None:
+                sample = out[None]                    # (1, H, W)
+                if self.post_transform is not None:
+                    sample = self.post_transform(sample)
+        if sample is None:                            # numpy fallback
+            sample = self.loader(path)
+            if self.transform is not None:
+                sample = self.transform(sample)
         return {'sample': sample, 'class': target, 'name': name}
+
+    def _native_out_shape(self):
+        if getattr(self, "_out_shape", None) is None:
+            from . import native
+            s = native.npy_shape(self.samples[0][0])
+            if s is None:
+                self._out_shape = False
+                return None
+            h, w, _ = s
+            sp = self.native_spec
+            rs = sp.get("row_stride", 0)
+            cs = sp.get("col_stride", 0)
+            oh = h if rs <= 0 else (h - sp.get("row_start", 0) + rs - 1) // rs
+            ow = w if cs <= 1 else (w + cs - 1) // cs
+            self._out_shape = (oh, ow)
+        return self._out_shape or None
+
+    def read_batch(self, indices, num_threads: int = 8):
+        """Whole-batch native read: one GIL-free C++ call over a pthread
+        pool (replaces torch DataLoader's native worker processes).  Returns
+        the collated item dict, or None to fall back to per-item loading."""
+        if self.native_spec is None:
+            return None
+        from . import native
+        shape = self._native_out_shape()
+        if shape is None:
+            return None
+        paths = [self.samples[i][0] for i in indices]
+        out = native.read_range_batch(paths, out_shape=shape,
+                                      num_threads=num_threads,
+                                      **self.native_spec)
+        if out is None:
+            return None
+        if self.post_transform is not None:
+            out = self.post_transform(out)
+        import numpy as _np
+        return {"sample": out,
+                "class": _np.asarray([self.samples[i][1] for i in indices]),
+                "name": [os.path.basename(self.samples[i][0]) for i in indices]}
 
 
 class PairDataset:
@@ -103,6 +164,19 @@ class PairDataset:
 
     def __len__(self):
         return min(len(d) for d in self.datasets)
+
+    def read_batch(self, indices, num_threads: int = 8):
+        """Native whole-batch fast path when every member supports it."""
+        outs = []
+        for d in self.datasets:
+            rb = getattr(d, "read_batch", None)
+            if rb is None:
+                return None
+            out = rb(indices, num_threads=num_threads)
+            if out is None:
+                return None
+            outs.append(out)
+        return tuple(outs)
 
 
 class ConcatDataset:
@@ -143,19 +217,31 @@ def build_durlar_upsampling_dataset(is_train, args):
         t_low_res.append(LogTransform())
         t_high_res.append(LogTransform())
 
+    post_low = post_high = None
     if is_train and args.roll:
         roll_low_res = RandomRollRangeMap()
         roll_high_res = RandomRollRangeMap(shift=roll_low_res.shift)
         t_low_res.append(roll_low_res)
         t_high_res.append(roll_high_res)
+        post_low, post_high = roll_low_res, roll_high_res
 
     root_low_res = os.path.join(args.data_path_low_res, 'train' if is_train else 'val')
     root_high_res = os.path.join(args.data_path_high_res, 'train' if is_train else 'val')
 
+    # fused native read specs (identical math, single C++ pass)
+    spec = dict(scale=1 / 120, min_r=0.3 / 120, max_r=1.0,
+                log1p=bool(args.log_transform))
+    native_low = dict(spec, row_stride=output_size[0] // input_size[0])
+    native_high = dict(spec)
+
     dataset_low_res = RangeMapFolder(root_low_res, transform=Compose(t_low_res),
-                                     loader=npy_loader, class_dir=False)
+                                     loader=npy_loader, class_dir=False,
+                                     native_spec=native_low,
+                                     post_transform=post_low)
     dataset_high_res = RangeMapFolder(root_high_res, transform=Compose(t_high_res),
-                                      loader=npy_loader, class_dir=False)
+                                      loader=npy_loader, class_dir=False,
+                                      native_spec=native_high,
+                                      post_transform=post_high)
     assert len(dataset_high_res) == len(dataset_low_res)
     return PairDataset(dataset_low_res, dataset_high_res)
 
@@ -185,10 +271,19 @@ def build_kitti_upsampling_dataset(is_train, args):
     root_low_res = os.path.join(args.data_path_low_res, 'train' if is_train else 'val')
     root_high_res = os.path.join(args.data_path_high_res, 'train' if is_train else 'val')
 
+    # fused native read specs (no range gate on KITTI — datasets.py:285-290)
+    spec = dict(scale=1 / 80, log1p=bool(args.log_transform))
+    native_low = dict(spec, row_stride=output_size[0] // input_size[0])
+    if output_size[1] // input_size[1] > 1:
+        native_low["col_stride"] = output_size[1] // input_size[1]
+    native_high = dict(spec)
+
     dataset_low_res = RangeMapFolder(root_low_res, transform=Compose(t_low_res),
-                                     loader=npy_loader, class_dir=False)
+                                     loader=npy_loader, class_dir=False,
+                                     native_spec=native_low)
     dataset_high_res = RangeMapFolder(root_high_res, transform=Compose(t_high_res),
-                                      loader=npy_loader, class_dir=False)
+                                      loader=npy_loader, class_dir=False,
+                                      native_spec=native_high)
     assert len(dataset_high_res) == len(dataset_low_res)
     return PairDataset(dataset_low_res, dataset_high_res)
 

@@ -119,6 +119,7 @@ def read_range_batch(paths: Sequence[str], *, scale: float = 1.0,
     lib = _load()
     if lib is None:
         return None
+    num_threads = max(1, min(num_threads, os.cpu_count() or 1))
     oh, ow = out_shape
     n = len(paths)
     out = np.empty((n, 1, oh, ow), np.float32)

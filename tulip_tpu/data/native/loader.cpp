@@ -107,28 +107,33 @@ void run_task(Task* t) {
   if ((info.h - r0 + rs - 1) / rs < t->out_h ||
       (info.w + cs - 1) / cs < t->out_w) { fclose(f); return; }
 
-  std::vector<float> row(info.w * info.c);
-  const long row_bytes = (long)info.w * info.c * 4;
+  // One bulk read of the needed row span (strided rows are skipped in
+  // memory — sequential IO beats per-row seek+read by ~10x on page cache)
+  const long row_elems = (long)info.w * info.c;
+  const long row_bytes = row_elems * 4;
+  const long span_rows = (t->out_h - 1) * rs + 1;
+  std::vector<float> buf(span_rows * row_elems);
+  if (fseek(f, info.payload_offset + r0 * row_bytes, SEEK_SET) != 0) {
+    fclose(f);
+    return;
+  }
+  if (fread(buf.data(), 1, span_rows * row_bytes, f) !=
+      (size_t)(span_rows * row_bytes)) {
+    fclose(f);
+    return;
+  }
+  fclose(f);
   for (long orow = 0; orow < t->out_h; ++orow) {
-    const long irow = r0 + orow * rs;
-    if (fseek(f, info.payload_offset + irow * row_bytes, SEEK_SET) != 0) {
-      fclose(f);
-      return;
-    }
-    if (fread(row.data(), 1, row_bytes, f) != (size_t)row_bytes) {
-      fclose(f);
-      return;
-    }
+    const float* src = buf.data() + orow * rs * row_elems;
     float* dst = t->out + orow * t->out_w;
     for (long ocol = 0; ocol < t->out_w; ++ocol) {
-      float v = row[ocol * cs * info.c];       // channel 0 (range)
+      float v = src[ocol * cs * info.c];       // channel 0 (range)
       v *= t->scale;
       if (t->min_r >= 0.0f && (v < t->min_r || v > t->max_r)) v = 0.0f;
       if (t->log1p) v = log1pf(v);
       dst[ocol] = v;
     }
   }
-  fclose(f);
   t->status = 0;
 }
 

@@ -102,6 +102,17 @@ class DataLoader:
         if batch and not self.drop_last:
             yield batch
 
+    def _load_batch(self, idxs):
+        # native whole-batch fast path: one GIL-free C++ call (pthread pool)
+        # replaces the per-item Python loop, which GIL-serializes at high
+        # throughput (tulip_tpu/data/native)
+        rb = getattr(self.dataset, "read_batch", None)
+        if rb is not None:
+            out = rb(idxs, num_threads=self.num_workers)
+            if out is not None:
+                return out
+        return _collate([self.dataset[i] for i in idxs])
+
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -111,8 +122,7 @@ class DataLoader:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     futures = []
                     for idxs in self._batches_of_indices():
-                        futures.append(pool.submit(
-                            lambda ii: _collate([self.dataset[i] for i in ii]), idxs))
+                        futures.append(pool.submit(self._load_batch, idxs))
                         # bound the number of outstanding batches
                         while len(futures) >= self.prefetch:
                             q.put(futures.pop(0).result())
