@@ -30,10 +30,18 @@ def _kernel(a_ref, bt_ref, o_ref):
     bt = bt_ref[:].astype(jnp.float32)                  # (3, TM)
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)         # (TN, 1)
     b2 = jnp.sum(bt * bt, axis=0, keepdims=True)        # (1, TM)
-    cross = jnp.dot(a, bt, preferred_element_type=jnp.float32)
+    # HIGHEST precision is load-bearing: the default (fast/bf16) matmul mode
+    # loses ~3e-3 relative on the cross term, which catastrophically cancels
+    # in a2 + b2 - 2ab for nearest neighbors (errors of several meters^2)
+    cross = jnp.dot(a, bt, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d = a2 + b2 - 2.0 * cross                           # (TN, TM)
     TN, TM = d.shape
-    partial = jnp.min(d.reshape(TN, TM // _LANES, _LANES), axis=1)
+    # lane-partial min via 128-aligned static slices: reshaping the lane dim
+    # ((TN, TM) -> (TN, TM/128, 128)) silently mis-lowers on real TPUs
+    partial = d[:, 0:_LANES]
+    for t in range(1, TM // _LANES):
+        partial = jnp.minimum(partial, d[:, t * _LANES:(t + 1) * _LANES])
 
     @pl.when(j == 0)
     def _():
@@ -57,7 +65,13 @@ def min_sq_dists_pallas(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 4096,
         a = jnp.concatenate(
             [a, jnp.full((pad_n, a.shape[1]), 1e8, a.dtype)], axis=0)
     Np = a.shape[0]
-    bt = b.T  # (3, M)
+    # zero-pad the coordinate (contraction) dim 3 -> 8: Mosaic's physical
+    # tile padding of a K=3 contraction is undefined data, which corrupts
+    # the dot on real TPUs (correct under interpret mode only)
+    K = 8
+    a = jnp.concatenate([a, jnp.zeros((Np, K - a.shape[1]), a.dtype)], axis=1)
+    bt = jnp.concatenate(
+        [b, jnp.zeros((b.shape[0], K - b.shape[1]), b.dtype)], axis=1).T
     TM = chunk
 
     out = pl.pallas_call(
