@@ -418,9 +418,12 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
                   droppath_active: bool = False,
                   attn_impl: str = "grouped") -> jnp.ndarray:
     """Pre-norm Swin block (reference: tulip/model/tulip.py:326-352)."""
-    if attn_impl == "pallas" and not droppath_active and not (
-            dropout_active and (drop > 0.0 or attn_drop > 0.0)):
-        # inference fast path: two fused VMEM-resident kernels per block
+    if (attn_impl == "pallas" and x.dtype == jnp.bfloat16
+            and not droppath_active
+            and not (dropout_active and (drop > 0.0 or attn_drop > 0.0))):
+        # inference fast path: two fused VMEM-resident kernels per block.
+        # bf16 only: the fp32 parity path needs exact erf GELU, which Mosaic
+        # cannot lower (erfc), and is served by the identical grouped XLA impl.
         return fused_swin_block_pallas(p, prefix, x, st, eps)
 
     def next_rng():

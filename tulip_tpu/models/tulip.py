@@ -377,7 +377,9 @@ def forward_features(params: Params, model: TulipModel, x: jnp.ndarray, *,
         if i < cfg.num_layers - 2:
             x = _upsample(p, f"layers_up.{i}.upsample", x, cfg)
 
-    fused_inference = (cfg.attn_impl == "pallas" and not droppath_active
+    fused_inference = (cfg.attn_impl == "pallas"
+                       and x.dtype == jnp.bfloat16
+                       and not droppath_active
                        and not (dropout_active and cfg.drop_rate > 0.0))
     if cfg.pixel_shuffle and fused_inference and cfg.in_chans == 1:
         # norm_up + ps_head + decoder_pred in one fused kernel
