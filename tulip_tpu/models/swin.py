@@ -320,6 +320,59 @@ def window_attention_pallas(p: Params, prefix: str, x: jnp.ndarray,
     return out
 
 
+def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
+                                  st: BlockStatic, *, attn_drop: float = 0.0,
+                                  proj_drop: float = 0.0, rng=None,
+                                  dropout_active: bool = False) -> jnp.ndarray:
+    """Differentiable grouped window MSA with the Pallas attention core.
+
+    The training-path variant: qkv / proj matmuls and the bias gather stay in
+    XLA (roofline dense matmuls, free autodiff), while the O(GL^2) part —
+    logits, softmax, PV and their backward — runs in ops/pallas/attn_core.py
+    with a custom VJP that recomputes the probs in VMEM instead of saving
+    them to HBM (XLA's autodiff of the grouped impl spills ~400 MB of fp32
+    probabilities per stage-0 block at batch 16).  Numerics match
+    window_attention_grouped (same math, same fp32 softmax).
+    """
+    if dropout_active and (attn_drop > 0.0 or proj_drop > 0.0) and rng is not None:
+        return window_attention_grouped(
+            p, prefix, x, st, attn_drop=attn_drop, proj_drop=proj_drop,
+            rng=rng, dropout_active=dropout_active)
+
+    from ..ops.pallas.attn_core import attn_core
+
+    B, H, W, C = x.shape
+    wh, ww = st.window
+    sh, sw = st.shift
+    nh = st.num_heads
+    hd = C // nh
+    Lw = wh * ww
+    G, GL = st.group, st.group * Lw
+    nH, nWg = H // wh, W // ww // G
+
+    if sh or sw:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+    xg = x.reshape(B, nH, wh, nWg, G, ww, C)
+    xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B * nH * nWg, GL, C)
+
+    qkv = L.linear(p, f"{prefix}.qkv", xg)                 # (Bg, GL, 3C)
+
+    table = p[f"{prefix}.relative_position_bias_table"].astype(jnp.float32)
+    bias = table[jnp.asarray(st.rel_index.reshape(-1))]
+    bias = bias.reshape(Lw, Lw, nh).transpose(2, 0, 1)     # (nh, L, L)
+    wt = st.win_token
+    bias_big = bias[:, jnp.asarray(wt[:, None]), jnp.asarray(wt[None, :])]
+
+    out = attn_core(qkv, bias_big, jnp.asarray(st.group_mask), nh, hd ** -0.5)
+    out = L.linear(p, f"{prefix}.proj", out)
+
+    out = out.reshape(B, nH, nWg, G, wh, ww, C)
+    out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
+    if sh or sw:
+        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+    return out
+
+
 def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
                             st: BlockStatic, eps: float) -> jnp.ndarray:
     """First half of a Swin block fully fused: x + attn(LN1(x)).
@@ -435,11 +488,13 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
 
     shortcut = x
     y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
-    # pallas_call has no registered VJP: the training path (drop-path active)
-    # uses the XLA grouped impl, which autodiffs and matches numerically
+    # training path with attn_impl=pallas: the differentiable attention core
+    # (custom VJP, VMEM-resident probs in both passes); dense matmuls and
+    # drop-path/dropout stay in XLA
     if attn_impl == "pallas":
-        attn_impl = "grouped"
-    attn_fn = ATTN_IMPLS[attn_impl]
+        attn_fn = window_attention_pallas_train
+    else:
+        attn_fn = ATTN_IMPLS[attn_impl]
     y = attn_fn(p, f"{prefix}.attn", y, st, attn_drop=attn_drop,
                 proj_drop=drop, rng=next_rng(),
                 dropout_active=dropout_active)
