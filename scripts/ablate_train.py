@@ -83,10 +83,23 @@ time_train("train step (grouped XLA)", model, params)
 cfg_p, model_p, params_p = build("pallas")
 time_fwd("fwd-only loss (pallas fused)", model_p, params_p)
 
-# attention stubbed to identity: bwd cost of everything-but-attention
-orig = dict(S.ATTN_IMPLS)
+time_train("train step (pallas attn core VJP)", model_p, params_p)
+
+# component stubs: attribute the remaining train-step ms
+orig_attn = dict(S.ATTN_IMPLS)
+orig_train = S.window_attention_pallas_train
+orig_mlp = S.mlp
+
 S.ATTN_IMPLS["grouped"] = lambda p, prefix, x, st, **kw: x
+S.window_attention_pallas_train = lambda p, prefix, x, st, **kw: x
 try:
     time_train("train step (attention = identity)", model, params)
 finally:
-    S.ATTN_IMPLS.update(orig)
+    S.ATTN_IMPLS.update(orig_attn)
+    S.window_attention_pallas_train = orig_train
+
+S.mlp = lambda p, prefix, x, **kw: x
+try:
+    time_train("train step (pallas attn, MLP = identity)", model_p, params_p)
+finally:
+    S.mlp = orig_mlp

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import StageConfig
+from ..parallel.halo import roll_hw
 from . import layers as L
 from .layers import Params
 
@@ -150,7 +151,7 @@ def window_attention_v1(p: Params, prefix: str, x: jnp.ndarray,
     Lw = wh * ww
 
     if sh or sw:
-        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        x = roll_hw(x, -sh, -sw)
 
     xw = window_partition(x, wh, ww)                       # (Bn, L, C)
     Bn = xw.shape[0]
@@ -187,7 +188,7 @@ def window_attention_v1(p: Params, prefix: str, x: jnp.ndarray,
 
     out = window_reverse(out, wh, ww, H, W)
     if sh or sw:
-        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        out = roll_hw(out, sh, sw)
     return out
 
 
@@ -216,7 +217,7 @@ def window_attention_grouped(p: Params, prefix: str, x: jnp.ndarray,
     nWg = W // ww // G
 
     if sh or sw:
-        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        x = roll_hw(x, -sh, -sw)
 
     # grouped partition: token order (g, i, j) within each group
     xg = x.reshape(B, nH, wh, nWg, G, ww, C)
@@ -259,7 +260,7 @@ def window_attention_grouped(p: Params, prefix: str, x: jnp.ndarray,
     out = out.reshape(B, nH, nWg, G, wh, ww, C)
     out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
     if sh or sw:
-        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        out = roll_hw(out, sh, sw)
     return out
 
 
@@ -289,7 +290,7 @@ def window_attention_pallas(p: Params, prefix: str, x: jnp.ndarray,
     nH, nWg = H // wh, W // ww // G
 
     if sh or sw:
-        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        x = roll_hw(x, -sh, -sw)
 
     xg = x.reshape(B, nH, wh, nWg, G, ww, C)
     xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B, nH * nWg, GL, C)
@@ -316,7 +317,7 @@ def window_attention_pallas(p: Params, prefix: str, x: jnp.ndarray,
     out = out.reshape(B, nH, nWg, G, wh, ww, C)
     out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
     if sh or sw:
-        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        out = roll_hw(out, sh, sw)
     return out
 
 
@@ -351,7 +352,7 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
     nH, nWg = H // wh, W // ww // G
 
     if sh or sw:
-        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        x = roll_hw(x, -sh, -sw)
     xg = x.reshape(B, nH, wh, nWg, G, ww, C)
     xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B * nH * nWg, GL, C)
 
@@ -369,7 +370,7 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
     out = out.reshape(B, nH, nWg, G, wh, ww, C)
     out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
     if sh or sw:
-        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        out = roll_hw(out, sh, sw)
     return out
 
 
@@ -393,7 +394,7 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
     nH, nWg = H // wh, W // ww // G
 
     if sh or sw:
-        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        x = roll_hw(x, -sh, -sw)
     xg = x.reshape(B, nH, wh, nWg, G, ww, C)
     xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B, nH * nWg, GL, C)
 
@@ -421,7 +422,7 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
     out = out.reshape(B, nH, nWg, G, wh, ww, C)
     out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
     if sh or sw:
-        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        out = roll_hw(out, sh, sw)
     return out
 
 
@@ -595,12 +596,12 @@ def swin_block_v2(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
 
     shortcut = x
     if sh or sw:
-        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+        x = roll_hw(x, -sh, -sw)
     xw = window_partition(x, wh, ww)
     xw = window_attention_v2(p, f"{prefix}.attn", xw, st)
     x = window_reverse(xw, wh, ww, H, W)
     if sh or sw:
-        x = jnp.roll(x, shift=(sh, sw), axis=(1, 2))
+        x = roll_hw(x, sh, sw)
     y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
     x = shortcut + L.drop_path(y, st.drop_path, next_rng(), droppath_active)
 

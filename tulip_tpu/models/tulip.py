@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, StageConfig, model_config
+from ..parallel.halo import circular_pad_w
 from . import layers as L
 from .layers import Params
 from .swin import (
@@ -197,7 +198,7 @@ def _patch_embed(p: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     assert H % ph == 0 and W % pw == 0, (
         f"input {H}x{W} not divisible by patch {cfg.patch_size}")
     if cfg.circular_padding:
-        x = jnp.concatenate([x[:, :, -2:], x, x[:, :, :2]], axis=2)
+        x = circular_pad_w(x, 2, 2)
     x = L.conv2d(p, "patch_embed.proj", x, stride=(ph, pw))
     if cfg.patch_norm:
         x = L.layer_norm(p, "patch_embed.norm", x, cfg.layer_norm_eps)
