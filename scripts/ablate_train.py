@@ -103,3 +103,53 @@ try:
     time_train("train step (pallas attn, MLP = identity)", model_p, params_p)
 finally:
     S.mlp = orig_mlp
+
+import tulip_tpu.models.tulip as T2
+orig_ps = T2._ps_head
+
+def time_fwd_mode(name, model, params, mode):
+    def fwd(p, lo, hi, salt):
+        _, total, _ = T.apply_model(p, model, lo + salt, hi, mode=mode,
+                                    rng=jax.random.PRNGKey(0) if mode == "train" else None,
+                                    compute_dtype=jnp.bfloat16)
+        return total * 0.0
+    f = jax.jit(fwd)
+    salt = jnp.zeros(())
+    salt = f(params, low, high, salt); salt = f(params, low, high, salt)
+    _ = float(salt)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        salt = f(params, low, high, salt)
+    _ = float(salt)
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"{name:46s} {dt*1000:8.1f} ms  ({B/dt:7.1f} img/s)", flush=True)
+    return dt
+
+time_fwd_mode("fwd train-mode (pallas, unfused head+droppath)", model_p, params_p, "train")
+
+# patch-embed stub: replace conv with reshape (1,4) patches -> linear? just tile
+orig_pe = T2._patch_embed
+def pe_stub(p, cfg, x):
+    ph, pw = cfg.patch_size
+    B, H, W, _ = x.shape
+    y = x.reshape(B, H // ph, ph, W // pw, pw).mean((2, 4))
+    return jnp.broadcast_to(y[..., None], (B, H // ph, W // pw, cfg.embed_dim)) * 1.0
+T2._patch_embed = pe_stub
+try:
+    time_train("train step (pallas attn, patch_embed stub)", model_p, params_p)
+finally:
+    T2._patch_embed = orig_pe
+
+# unfused-head cost: stub ps_head+decoder_pred with broadcast
+orig_ln_up = None
+def ps_stub(p, x, cfg):
+    s = cfg.upscale_factor
+    B, H, W, C = x.shape
+    y = jnp.broadcast_to(x[..., :1], (B, H, W, s * s)) * 1.0
+    from tulip_tpu.models.tulip import _pixel_shuffle_nhwc
+    return jnp.concatenate([_pixel_shuffle_nhwc(y, s)] * cfg.embed_dim, -1)[..., :cfg.embed_dim]
+T2._ps_head = ps_stub
+try:
+    time_train("train step (pallas attn, ps_head stub)", model_p, params_p)
+finally:
+    T2._ps_head = orig_ps

@@ -138,3 +138,47 @@ def test_plain_eval_workflow(carla_dataset, tmp_path):
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     results = json.load(open(os.path.join(out_dir, "results.txt")))
     assert len(results["iou"]) == 2
+
+
+@pytest.mark.e2e
+def test_sp_training_workflow(tmp_path):
+    """CLI training with --sp_degree 2 on a 4-virtual-device CPU mesh
+    (dp2 x sp2): the full public workflow over the sequence-parallel train
+    step (tulip_tpu/parallel/sp.py)."""
+    root = tmp_path / "durlar"
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 8), ("val", 1)):
+        d = root / split
+        d.mkdir(parents=True)
+        for i in range(n):
+            img = rng.uniform(2.5, 110.0, (128, 1024)).astype(np.float32)
+            arr = np.stack([img, np.zeros_like(img)], axis=-1)
+            np.save(str(d / f"{i:05d}.npy"), arr)
+
+    out_dir = str(tmp_path / "run")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + \
+        " --xla_force_host_platform_device_count=4"
+    cmd = [sys.executable, "tulip/main_lidar_upsampling.py",
+           "--model_select", "tulip_base",
+           "--pixel_shuffle", "--circular_padding", "--patch_unmerging",
+           "--log_transform",
+           "--dataset_select", "durlar",
+           "--data_path_low_res", str(root),
+           "--data_path_high_res", str(root),
+           "--img_size_low_res", "32", "1024",
+           "--img_size_high_res", "128", "1024",
+           "--window_size", "2", "8", "--patch_size", "1", "4",
+           "--in_chans", "1",
+           "--batch_size", "1", "--epochs", "1", "--warmup_epochs", "1",
+           "--lr", "1e-4", "--num_workers", "2", "--wandb_disabled",
+           "--sp_degree", "2",
+           "--output_dir", out_dir, "--log_dir", out_dir]
+    r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                       text=True, timeout=3000)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    stats = json.loads(open(os.path.join(out_dir, "log.txt")).read()
+                       .splitlines()[-1])
+    assert np.isfinite(stats["train_loss"])

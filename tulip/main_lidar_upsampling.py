@@ -116,12 +116,24 @@ def main(args):
     print("accumulate grad iterations: %d" % args.accum_iter)
     print("effective batch size: %d" % eff_batch_size)
 
-    mesh = make_mesh(args.mesh_shape)
     tx = make_optimizer(args.weight_decay, args.accum_iter)
     state = init_train_state(params, tx)
     compute_dtype = jnp.bfloat16 if args.precision == 'bf16' else jnp.float32
-    train_step = make_train_step(model, tx, accum_iter=args.accum_iter,
-                                 compute_dtype=compute_dtype)
+    sp = getattr(args, 'sp_degree', 1) or 1
+    if sp > 1:
+        # dp x sp mesh: batch over 'data', range-image W over 'seq' with
+        # ppermute halo exchange (tulip_tpu/parallel/sp.py)
+        from tulip_tpu.parallel.sp import make_sp_train_step
+        assert n_devices % sp == 0, (
+            f"--sp_degree {sp} does not divide {n_devices} devices")
+        mesh = make_mesh((n_devices // sp, sp), axis_names=("data", "seq"))
+        train_step = make_sp_train_step(model, tx, mesh,
+                                        accum_iter=args.accum_iter,
+                                        compute_dtype=compute_dtype)
+    else:
+        mesh = make_mesh(args.mesh_shape)
+        train_step = make_train_step(model, tx, accum_iter=args.accum_iter,
+                                     compute_dtype=compute_dtype)
 
     params2, opt2, start_epoch = ckpt_util.load_model(args, state.params,
                                                       state.opt_state)

@@ -116,6 +116,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help='chamfer-distance kernel implementation')
     parser.add_argument('--mesh_shape', nargs='+', type=int, default=None,
                         help='device mesh shape, e.g. "8" for 8-way data parallel')
+    parser.add_argument('--sp_degree', default=1, type=int,
+                        help='sequence-parallel degree: shard the range-image '
+                             'W axis over a "seq" mesh axis with ppermute halo '
+                             'exchange (parallel/sp.py); devices are arranged '
+                             'as (n_devices // sp_degree) data x sp_degree seq')
     parser.add_argument('--depth_scale_loss', action='store_true',
                         help='reference references this flag without defining it '
                              '(engine_upsampling.py:107); defined here so the '

@@ -64,9 +64,12 @@ def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding over the 'data' axis."""
+    """Batch-dim sharding over the 'data' axis; under a dp x sp mesh the
+    NCHW width axis additionally shards over 'seq' (parallel/sp.py)."""
     spec = [None] * 4
     spec[0] = "data"
+    if "seq" in mesh.axis_names:
+        spec[3] = "seq"
     return NamedSharding(mesh, P(*spec))
 
 

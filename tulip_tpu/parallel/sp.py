@@ -158,8 +158,9 @@ def make_sp_forward(model: TulipModel, mesh: Mesh, *, data_axis: str = "data",
 
 
 def make_sp_train_step(model: TulipModel, tx, mesh: Mesh, *,
-                       data_axis: str = "data", seq_axis: str = "seq",
-                       compute_dtype=jnp.bfloat16, donate: bool = True):
+                       accum_iter: int = 1, data_axis: str = "data",
+                       seq_axis: str = "seq", compute_dtype=jnp.bfloat16,
+                       donate: bool = True):
     """dp x sp train step: step(state, low, high, lr, rng) ->
     (state, (total_loss, pixel_loss)).  Same contract as
     train/step.make_train_step; low/high arrive NCHW sharded
@@ -180,7 +181,7 @@ def make_sp_train_step(model: TulipModel, tx, mesh: Mesh, *,
 
     def step(state, low, high, lr, rng):
         (total, pixel), grads = grad_fn(state.params, low, high, rng)
-        opt_state = _set_lr(state.opt_state, lr, 1)
+        opt_state = _set_lr(state.opt_state, lr, accum_iter)
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), (total, pixel)
