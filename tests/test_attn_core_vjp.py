@@ -138,3 +138,84 @@ def test_block_train_grads_pallas_vs_grouped():
             np.testing.assert_allclose(
                 np.asarray(g_p[key]), np.asarray(g_x[key]),
                 rtol=2e-4, atol=2e-4, err_msg=f"block {block_idx}: {key}")
+
+
+def test_fused_two_matmul_vjp_grads():
+    """fused_two_matmul_vjp (Pallas fwd / recompute bwd) gradients must match
+    autodiff of the plain XLA composition, fp32 exact (leaky + gelu paths,
+    with and without fused LN)."""
+    from tulip_tpu.ops.pallas.mlp import fused_two_matmul_vjp, _xla_two_matmul
+    rng = np.random.default_rng(0)
+    N, C, H = 256, 96, 384
+    x = jnp.asarray(rng.standard_normal((N, C)).astype(np.float32))
+    lnw = jnp.asarray(rng.uniform(0.5, 1.5, (1, C)).astype(np.float32))
+    lnb = jnp.asarray(rng.standard_normal((1, C)).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.standard_normal((C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal((1, H)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.standard_normal((H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.standard_normal((1, C)).astype(np.float32) * 0.05)
+
+    for act, fuse_ln, residual in (("gelu", True, False), ("leaky", False, False),
+                                   ("gelu", True, True)):
+        def loss_p(*a):
+            return jnp.sum(fused_two_matmul_vjp(*a, 1e-6, act, fuse_ln,
+                                                residual) ** 2)
+
+        def loss_x(*a):
+            return jnp.sum(_xla_two_matmul(*a, eps=1e-6, act=act,
+                                           fuse_ln=fuse_ln,
+                                           residual=residual) ** 2)
+
+        args = (x, lnw, lnb, w1, b1, w2, b2)
+        gp = jax.grad(loss_p, argnums=tuple(range(7)))(*args)
+        gx = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+        for i, (a, b) in enumerate(zip(gp, gx)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"{act}/{fuse_ln}/{residual} arg{i}")
+
+
+def test_block_train_grads_bf16_fused_vs_xla():
+    """bf16 training block: the fused-kernel branches (attention core VJP +
+    fused MLP VJP) must stay within bf16 tolerance of the grouped XLA path."""
+    cfg = model_config("tulip_base", img_size=(8, 128),
+                       target_img_size=(32, 128), patch_size=(1, 4),
+                       window_size=(2, 8))
+    stage = cfg.encoder_stages[0]
+    rng = np.random.default_rng(5)
+    C, nh = stage.dim, stage.num_heads
+    table_len = (2 * cfg.window_size[0] - 1) * (2 * cfg.window_size[1] - 1)
+    prefix = "blk"
+    params = {
+        f"{prefix}.norm1.weight": jnp.asarray(rng.uniform(0.5, 1.5, (C,)).astype(np.float32)),
+        f"{prefix}.norm1.bias": jnp.zeros((C,), jnp.float32),
+        f"{prefix}.norm2.weight": jnp.asarray(rng.uniform(0.5, 1.5, (C,)).astype(np.float32)),
+        f"{prefix}.norm2.bias": jnp.zeros((C,), jnp.float32),
+        f"{prefix}.attn.qkv.weight": jnp.asarray(rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.05),
+        f"{prefix}.attn.qkv.bias": jnp.zeros((3 * C,), jnp.float32),
+        f"{prefix}.attn.proj.weight": jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.05),
+        f"{prefix}.attn.proj.bias": jnp.zeros((C,), jnp.float32),
+        f"{prefix}.attn.relative_position_bias_table": jnp.asarray(rng.standard_normal((table_len, nh)).astype(np.float32) * 0.1),
+        f"{prefix}.mlp.fc1.weight": jnp.asarray(rng.standard_normal((C, 4 * C)).astype(np.float32) * 0.05),
+        f"{prefix}.mlp.fc1.bias": jnp.zeros((4 * C,), jnp.float32),
+        f"{prefix}.mlp.fc2.weight": jnp.asarray(rng.standard_normal((4 * C, C)).astype(np.float32) * 0.05),
+        f"{prefix}.mlp.fc2.bias": jnp.zeros((C,), jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((2, *stage.grid, C)).astype(np.float32))
+    st = S.make_block_static(stage, 1, cfg.window_size)   # shifted
+
+    def loss(p, impl):
+        # droppath_active=True (training semantics) with rng=None: the
+        # stochastic mask is inactive but the block takes the training
+        # branches (fused inference kernels have no VJP and are gated off)
+        y = S.swin_block_v1(p, prefix, x.astype(jnp.bfloat16), st, eps=1e-6,
+                            attn_impl=impl, droppath_active=True)
+        return jnp.mean(y.astype(jnp.float32) ** 2)
+
+    g_p = jax.grad(lambda p: loss(p, "pallas"))(params)
+    g_x = jax.grad(lambda p: loss(p, "grouped"))(params)
+    for key in params:
+        a, b = np.asarray(g_p[key]), np.asarray(g_x[key])
+        scale = np.abs(b).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 0.05, (
+            key, np.abs(a - b).max(), scale)

@@ -502,9 +502,27 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
     y = L.drop_path(y, st.drop_path, next_rng(), droppath_active)
     x = x + y
 
-    y = L.layer_norm(p, f"{prefix}.norm2", x, eps)
-    y = mlp(p, f"{prefix}.mlp", y, drop=drop, rng=next_rng(),
-            dropout_active=dropout_active)
+    if (attn_impl == "pallas" and x.dtype == jnp.bfloat16
+            and not (dropout_active and drop > 0.0)):
+        # training MLP half on the fused kernel (custom VJP: Pallas forward,
+        # recompute backward — the (N, 4C) hidden never hits HBM in fwd);
+        # residual + drop-path stay outside so stochastic depth composes
+        from ..ops.pallas.mlp import fused_two_matmul_vjp
+        B, H, W, C = x.shape
+        d = x.dtype
+        y = fused_two_matmul_vjp(
+            x.reshape(-1, C),
+            p[f"{prefix}.norm2.weight"].astype(d).reshape(1, -1),
+            p[f"{prefix}.norm2.bias"].astype(d).reshape(1, -1),
+            p[f"{prefix}.mlp.fc1.weight"].astype(d),
+            p[f"{prefix}.mlp.fc1.bias"].astype(d).reshape(1, -1),
+            p[f"{prefix}.mlp.fc2.weight"].astype(d),
+            p[f"{prefix}.mlp.fc2.bias"].astype(d).reshape(1, -1),
+            eps, "gelu", True, False).reshape(B, H, W, C)
+    else:
+        y = L.layer_norm(p, f"{prefix}.norm2", x, eps)
+        y = mlp(p, f"{prefix}.mlp", y, drop=drop, rng=next_rng(),
+                dropout_active=dropout_active)
     y = L.drop_path(y, st.drop_path, next_rng(), droppath_active)
     return x + y
 

@@ -314,7 +314,7 @@ def _ps_head_pred_fused(p: Params, x: jnp.ndarray, cfg: ModelConfig,
     materializing the (B, H, W, C*s^2) expansion in HBM.  Numerically equal
     to _ps_head + decoder_pred (matmul reassociation only).
     """
-    from ..ops.pallas.mlp import fused_two_matmul
+    from ..ops.pallas.mlp import fused_two_matmul_vjp
 
     B, H, W, C = x.shape
     s = cfg.upscale_factor
@@ -329,13 +329,15 @@ def _ps_head_pred_fused(p: Params, x: jnp.ndarray, cfg: ModelConfig,
         jnp.repeat(wpred, r2))
     b2 = jnp.zeros((1, r2), d)
 
-    lnw = lnb = None
     if with_norm_up:
         lnw = p["norm_up.weight"].astype(d).reshape(1, -1)
         lnb = p["norm_up.bias"].astype(d).reshape(1, -1)
-    out = fused_two_matmul(x.reshape(-1, C), lnw, lnb, w1, b1, w2, b2,
-                           act="leaky", fuse_ln=with_norm_up, residual=False,
-                           eps=cfg.layer_norm_eps)
+    else:
+        lnw = jnp.zeros((1, C), d)
+        lnb = jnp.zeros((1, C), d)
+    out = fused_two_matmul_vjp(x.reshape(-1, C), lnw, lnb, w1, b1, w2, b2,
+                               cfg.layer_norm_eps, "leaky", with_norm_up,
+                               False)
     out = out.reshape(B, H, W, s, s)
     out = out.transpose(0, 1, 3, 2, 4).reshape(B, H * s, W * s, 1)
     return out
@@ -403,11 +405,12 @@ def forward_features(params: Params, model: TulipModel, x: jnp.ndarray, *,
         if i < cfg.num_layers - 2:
             x = _upsample(p, f"layers_up.{i}.upsample", x, cfg)
 
-    fused_inference = (cfg.attn_impl == "pallas"
-                       and x.dtype == jnp.bfloat16
-                       and not droppath_active
-                       and not (dropout_active and cfg.drop_rate > 0.0))
-    if cfg.pixel_shuffle and fused_inference and cfg.in_chans == 1:
+    # The fused head has no residual/dropout interior, so unlike the block
+    # kernels it serves training too (custom VJP: Pallas forward, recompute
+    # backward) — only pos_drop-style dropout between norm_up and the head
+    # would invalidate it, and none exists in the model.
+    fused_head = (cfg.attn_impl == "pallas" and x.dtype == jnp.bfloat16)
+    if cfg.pixel_shuffle and fused_head and cfg.in_chans == 1:
         # norm_up + ps_head + decoder_pred in one fused kernel
         return _ps_head_pred_fused(p, x, cfg, with_norm_up=True)
 

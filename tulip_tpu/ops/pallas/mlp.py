@@ -102,3 +102,60 @@ def fused_ln_mlp(x2d, lnw, lnb, w1, b1, w2, b2, *, eps: float = 1e-6,
     return fused_two_matmul(x2d, lnw, lnb, w1, b1, w2, b2, eps=eps,
                             act="gelu", fuse_ln=True, residual=True,
                             interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (training path)
+# ---------------------------------------------------------------------------
+
+def _xla_two_matmul(x2d, lnw, lnb, w1, b1, w2, b2, *, eps, act, fuse_ln,
+                    residual):
+    """The kernel's math in plain XLA — used only inside the custom-VJP
+    backward, where jax.vjp of this recomputes the activations instead of
+    saving the (N, H) hidden tile to HBM in the forward."""
+    x = x2d
+    if fuse_ln:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        y = (y * lnw[0].astype(jnp.float32)
+             + lnb[0].astype(jnp.float32)).astype(x.dtype)
+    else:
+        y = x
+    h = (y @ w1 + b1[0]).astype(x.dtype)
+    if act == "gelu":
+        h = jax.nn.gelu(h, approximate=h.dtype == jnp.bfloat16)
+    elif act == "leaky":
+        h = jnp.maximum(h, 0) + 0.01 * jnp.minimum(h, 0)
+    o = h @ w2 + b2[0]
+    if residual:
+        o = o + x
+    return o.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_two_matmul_vjp(x2d, lnw, lnb, w1, b1, w2, b2, eps: float,
+                         act: str, fuse_ln: bool, residual: bool):
+    """fused_two_matmul with a defined VJP: Pallas forward (no HBM hidden
+    activations), recompute-style XLA backward (one extra forward's matmul
+    FLOPs instead of saving/loading the (N, H) intermediates)."""
+    return fused_two_matmul(x2d, lnw, lnb, w1, b1, w2, b2, eps=eps, act=act,
+                            fuse_ln=fuse_ln, residual=residual)
+
+
+def _ftm_fwd(x2d, lnw, lnb, w1, b1, w2, b2, eps, act, fuse_ln, residual):
+    out = fused_two_matmul(x2d, lnw, lnb, w1, b1, w2, b2, eps=eps, act=act,
+                           fuse_ln=fuse_ln, residual=residual)
+    return out, (x2d, lnw, lnb, w1, b1, w2, b2)
+
+
+def _ftm_bwd(eps, act, fuse_ln, residual, res, g):
+    x2d, lnw, lnb, w1, b1, w2, b2 = res
+    fn = functools.partial(_xla_two_matmul, eps=eps, act=act,
+                           fuse_ln=fuse_ln, residual=residual)
+    _, vjp = jax.vjp(fn, x2d, lnw, lnb, w1, b1, w2, b2)
+    return vjp(g.astype(x2d.dtype))
+
+
+fused_two_matmul_vjp.defvjp(_ftm_fwd, _ftm_bwd)
