@@ -41,11 +41,20 @@ for name, Bg, GL, C, nh in STAGES:
     cot = jnp.asarray(rng.standard_normal((Bg, GL, C)).astype(np.float32)).astype(jnp.bfloat16)
     scale = (C // nh) ** -0.5
 
-    f = jax.jit(lambda q: attn_core(q, bias, gmask, nh, scale))
+    def split(qkv):
+        hd = C // nh
+        q3 = qkv.reshape(Bg, GL, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        return tuple(q3[i].reshape(Bg * nh, GL, hd) for i in range(3))
+
+    def merge(ao):
+        hd = C // nh
+        return ao.reshape(Bg, nh, GL, hd).transpose(0, 2, 1, 3).reshape(Bg, GL, C)
+
+    f = jax.jit(lambda qkv: merge(attn_core(*split(qkv), bias, gmask, nh, scale)))
     tf = timeit(f"fwd  {name}", f, qkv)
 
-    def loss(q):
-        return jnp.sum(attn_core(q, bias, gmask, nh, scale).astype(jnp.float32) * cot.astype(jnp.float32))
+    def loss(qkv):
+        return jnp.sum(merge(attn_core(*split(qkv), bias, gmask, nh, scale)).astype(jnp.float32) * cot.astype(jnp.float32))
     g = jax.jit(jax.grad(loss))
     tb = timeit(f"grad {name}", g, qkv)
     total_f += tf

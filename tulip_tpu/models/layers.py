@@ -40,12 +40,20 @@ def linear(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
 
 def conv2d(p: Params, prefix: str, x: jnp.ndarray, stride=(1, 1),
            padding="VALID") -> jnp.ndarray:
-    """NHWC conv with HWIO kernel."""
+    """NHWC conv with HWIO kernel.
+
+    1x1 stride-1 convs (all the model's pointwise convs: patch unmerging,
+    ps_head expand, decoder_pred) lower to a plain channel matmul — XLA's
+    conv op measured ~7 ms/step slower than the equivalent dot in the
+    batch-16 train step on v5e."""
     w = p[f"{prefix}.weight"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=stride, padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     b = p.get(f"{prefix}.bias")
+    if w.shape[0] == 1 and w.shape[1] == 1 and tuple(stride) == (1, 1):
+        y = x @ w[0, 0]
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=stride, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if b is not None:
         y = y + b.astype(x.dtype)
     return y

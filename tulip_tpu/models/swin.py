@@ -340,7 +340,7 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
             p, prefix, x, st, attn_drop=attn_drop, proj_drop=proj_drop,
             rng=rng, dropout_active=dropout_active)
 
-    from ..ops.pallas.attn_core import attn_core
+    from ..ops.pallas.attn_core import attn_core, natural_token_perm
 
     B, H, W, C = x.shape
     wh, ww = st.window
@@ -349,26 +349,35 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
     hd = C // nh
     Lw = wh * ww
     G, GL = st.group, st.group * Lw
-    nH, nWg = H // wh, W // ww // G
+    nH = H // wh
 
     if sh or sw:
         x = roll_hw(x, -sh, -sw)
-    xg = x.reshape(B, nH, wh, nWg, G, ww, C)
-    xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B * nH * nWg, GL, C)
+    # natural layout: (B*nH, wh, W, C) row-strips — pure reshape, NO window
+    # partition transpose.  The kernel attends over contiguous (wh, G*ww)
+    # tiles; the static bias/mask tables are permuted to natural token
+    # order instead (attention conjugated by a permutation).
+    x4 = x.reshape(B * nH, wh, W, C)
 
-    qkv = L.linear(p, f"{prefix}.qkv", xg)                 # (Bg, GL, 3C)
+    qkv = L.linear(p, f"{prefix}.qkv", x4)                 # (R, wh, W, 3C)
 
     table = p[f"{prefix}.relative_position_bias_table"].astype(jnp.float32)
     bias = table[jnp.asarray(st.rel_index.reshape(-1))]
     bias = bias.reshape(Lw, Lw, nh).transpose(2, 0, 1)     # (nh, L, L)
     wt = st.win_token
     bias_big = bias[:, jnp.asarray(wt[:, None]), jnp.asarray(wt[None, :])]
+    perm = natural_token_perm(wh, ww, G)
+    bias_nat = bias_big[:, jnp.asarray(perm[:, None]),
+                        jnp.asarray(perm[None, :])]
+    bias_cat = bias_nat.transpose(1, 0, 2).reshape(GL, nh * GL)
 
-    out = attn_core(qkv, bias_big, jnp.asarray(st.group_mask), nh, hd ** -0.5)
+    gmask_nat = st.group_mask[:, perm[:, None], perm[None, :]]
+    gmask = jnp.asarray(gmask_nat, dtype=jnp.bfloat16)
+    out = attn_core(qkv, bias_cat, gmask,
+                    nh, hd ** -0.5, nH)                    # (R, wh, W, C)
     out = L.linear(p, f"{prefix}.proj", out)
 
-    out = out.reshape(B, nH, nWg, G, wh, ww, C)
-    out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
+    out = out.reshape(B, H, W, C)
     if sh or sw:
         out = roll_hw(out, sh, sw)
     return out
@@ -471,13 +480,19 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
                   rng=None, dropout_active: bool = False,
                   droppath_active: bool = False,
                   attn_impl: str = "grouped") -> jnp.ndarray:
-    """Pre-norm Swin block (reference: tulip/model/tulip.py:326-352)."""
+    """Pre-norm Swin block (reference: tulip/model/tulip.py:326-352).
+
+    attn_impl=pallas (bf16): inference (drop-path inactive) uses the fully
+    fused half-block kernels of ops/pallas/window_msa.py, whose in-kernel
+    qkv/proj GEMMs batch over ~32 groups per grid step; training uses the
+    v4 composition — LN/qkv/proj as whole-tensor XLA GEMMs around the
+    natural-layout attention-core custom VJP, plus the fused LN+MLP VJP
+    kernel.  (A per-group fully-fused trainable half-block was tried and
+    reverted: fragmenting the dense GEMMs to (GL, C) granularity cost more
+    than the fusion saved — see ops/pallas/attn_core.py docstring.)"""
     if (attn_impl == "pallas" and x.dtype == jnp.bfloat16
             and not droppath_active
             and not (dropout_active and (drop > 0.0 or attn_drop > 0.0))):
-        # inference fast path: two fused VMEM-resident kernels per block.
-        # bf16 only: the fp32 parity path needs exact erf GELU, which Mosaic
-        # cannot lower (erfc), and is served by the identical grouped XLA impl.
         return fused_swin_block_pallas(p, prefix, x, st, eps)
 
     def next_rng():
@@ -489,9 +504,6 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
 
     shortcut = x
     y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
-    # training path with attn_impl=pallas: the differentiable attention core
-    # (custom VJP, VMEM-resident probs in both passes); dense matmuls and
-    # drop-path/dropout stay in XLA
     if attn_impl == "pallas":
         attn_fn = window_attention_pallas_train
     else:

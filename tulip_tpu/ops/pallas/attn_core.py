@@ -1,29 +1,61 @@
-"""Differentiable Pallas attention core for the grouped window layout.
+"""Differentiable Pallas attention core over natural-layout window groups.
 
-Training-path complement to ops/pallas/window_msa.py: that kernel fuses the
-whole half-block (LN + qkv + attention + proj + residual) but has no VJP, so
-the train step fell back to the XLA grouped implementation — whose backward
-saves the fp32 attention probabilities to HBM (~400 MB per stage-0 block at
-batch 16) and reads them back, dominating the step time (measured: attention
-fwd+bwd was 110 of 175 ms at batch 16 on v5e).
+Training-path complement to ops/pallas/window_msa.py: the custom-VJP
+boundary is the attention core only (QK^T -> softmax -> PV); the dense
+linear-size matmuls around it (LN, qkv projection, output projection) stay
+in XLA, which runs them at roofline and autodiffs them for free.  All
+O(GL^2) tensors (logits, probs, their gradients) live and die in VMEM in
+both passes — the backward recomputes the probs FlashAttention-style
+instead of saving them to HBM (XLA's autodiff of the grouped implementation
+spills ~400 MB of fp32 probabilities per stage-0 block at batch 16).
 
-Here the custom-VJP boundary is the *attention core* only:
+Two layout/shape insights drive the design (both measured on v5e):
 
-    ao = core(qkv, bias, gmask)   # peel heads -> QK^T -> softmax -> PV
+1. NO PARTITION TRANSPOSE.  A "grouped window" of G adjacent (wh, ww)
+   windows is a contiguous (wh, G*ww) spatial tile of the token grid, and
+   the classic window partition merely permutes tokens *within* that tile.
+   Attention conjugated by a permutation is attention with permuted
+   bias/mask tables — so the kernel reads (wh, G*ww, C) tiles of the
+   natural (B*nH, wh, W, C) layout (pure reshapes from (B, H, W, C)) and
+   the *static* bias/mask tables are pre-permuted instead (numpy, free).
+   The physical partition transposes cost ~17 ms/step of the batch-16
+   train step in XLA fusions, plus as much again in their backward copies.
 
-All O(GL^2) tensors (logits, probs, their gradients) live and die in VMEM in
-both passes — the backward FlashAttention-style *recomputes* the probs from
-qkv instead of loading them.  The dense, linear-size matmuls around the core
-(LN, qkv projection, output projection) stay in XLA, which runs them at
-roofline and autodiffs them for free; their HBM traffic is linear in tokens,
-not quadratic in window size.
+2. EXPANDED HEADS, BIG MATMULS.  Windows are tiny (GL <= 128 tokens) and
+   heads narrow (hd = 32), so per-(group, head) batched matmuls are
+   latency-bound — thousands of (128x32)@(32x128) MXU calls measured ~100x
+   their flop time; in-kernel head peeling via narrow-lane slices worse
+   still.  Each group instead computes ALL heads in one pair of big
+   matmuls via a head-block-diagonal expansion:
 
-Layouts (grouped windows, see models/swin._grouped_statics):
-  qkv:   (Bg, GL, 3C)  — Bg = B * nH * nWg group rows, GL = G*L <= 128 tokens
-  bias:  (nh, GL, GL) fp32 — block-diag relative-position bias (differentiable;
-         its cotangent chains into the bias-table gather in XLA)
-  gmask: (nG, GL, GL) or (1, GL, GL) fp32 additive mask (constant)
-  ao:    (Bg, GL, C)
+       kexp = tile(K, nh) * head_mask      # (nh*GL, C), zeros off-block
+       logits_cat = Q @ kexp^T             # (GL, nh*GL): seg h = q_h k_h^T
+       pr_cat = segmented softmax          # per GL-lane head segment
+       out = pr_cat @ vexp                 # (GL, C)
+
+   The expansion wastes a factor nh in flops (the masked zeros) but turns
+   2*nh skinny matmuls into 2 full-K contractions — ~7x faster at stage 0.
+   Heads are processed in chunks of <= 8 to bound the fp32 buffers.
+
+Layouts:
+  qkv:      (R, wh, W, 3C) fused [q|k|v], R = B*nH row-strips, W = nWg*Gww
+            — a pure reshape of the rolled (B, H, W, 3C) qkv projection
+  bias_cat: (GL, nh*GL) fp32, segment-concat, NATURAL token order
+            (pre-permuted via natural_token_perm); differentiable — the
+            cotangent chains through the permutation/table gather in XLA
+  gmask:    (nG, GL, GL) or (1, GL, GL) additive mask in natural token
+            order (constant; bf16 is exact for its 0/-100/-1e9 values)
+  out:      (R, wh, W, C)
+
+A fully-fused variant (LN + qkv + attention + proj in one kernel with
+in-kernel weight-grad accumulation) was tried and REVERTED: pulling the
+dense projections into the per-group kernel fragments the model's largest,
+most efficient GEMMs ((tokens, C) x (C, 3C)) into thousands of (GL, C)
+matmuls — train dropped 155 -> 145 img/s and inference 664 -> 538.  The
+projections belong in XLA; only the O(GL^2) work belongs here.
+
+NB: all timings above use host-read serialization — block_until_ready is
+unreliable on the axon platform.
 """
 
 from __future__ import annotations
@@ -32,241 +64,270 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _peel(qkv, BG: int, GL: int, C: int, nh: int):
-    """(BG*GL, 3C) -> three (BG*nh, GL, hd) stacks via 2-D lane slices
-    (Mosaic cannot split the lane dim in a reshape)."""
+def natural_token_perm(wh: int, ww: int, G: int) -> np.ndarray:
+    """perm[t_natural] = t_grouped for one (wh, G*ww) tile: natural token
+    (r, w) is row-major over the tile; grouped order is window-major
+    (w // ww, r, w % ww) (models/swin._grouped_statics)."""
+    Gww = G * ww
+    r, w = np.divmod(np.arange(wh * Gww), Gww)
+    return (w // ww) * (wh * ww) + r * ww + (w % ww)
+
+
+def _head_chunks(nh: int, max_chunk: int = 8):
+    chunk = min(nh, max_chunk)
+    while nh % chunk:
+        chunk -= 1
+    return [(h0, chunk) for h0 in range(0, nh, chunk)]
+
+
+def _chunk_mask(nh: int, h0: int, chunk: int, GL: int, C: int):
+    """Boolean (chunk*GL, C) head-block-diagonal mask via 2-D iota (computed
+    in-kernel; a materialized input would cost nh*GL*C VMEM every step)."""
     hd = C // nh
-    qs, ks, vs = [], [], []
-    for g in range(BG):
-        rows = slice(g * GL, (g + 1) * GL)
-        for h in range(nh):
-            qs.append(qkv[rows, h * hd:(h + 1) * hd])
-            ks.append(qkv[rows, C + h * hd:C + (h + 1) * hd])
-            vs.append(qkv[rows, 2 * C + h * hd:2 * C + (h + 1) * hd])
-    return jnp.stack(qs), jnp.stack(ks), jnp.stack(vs)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk * GL, C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (chunk * GL, C), 1)
+    h = rows // GL + h0
+    return (cols >= h * hd) & (cols < (h + 1) * hd)
 
 
-def _probs(q, k, bias_ref, gmask_ref, *, BG, nh, scale, mask_per_group, sm_t):
-    """fp32 logits -> softmax in sm_t.  Shapes (BG*nh, GL, GL)."""
-    attn = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    attn = attn.astype(sm_t)
-    attn = attn * jnp.asarray(scale, sm_t) \
-        + jnp.tile(bias_ref[:], (BG, 1, 1)).astype(sm_t)
-    if mask_per_group:
-        attn = attn + jnp.repeat(gmask_ref[:], nh, axis=0).astype(sm_t)
-    else:
-        attn = attn + gmask_ref[0][None].astype(sm_t)
-    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-    e = jnp.exp(attn)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+def _expand(x, chunk: int, mask):
+    """(GL, C) -> (chunk*GL, C) head-block-diagonal expansion."""
+    t = jnp.concatenate([x] * chunk, axis=0)
+    return jnp.where(mask, t, jnp.zeros((), t.dtype))
 
 
-def _fwd_kernel(qkv_ref, bias_ref, gmask_ref, o_ref, *, nh: int, scale: float,
-                mask_per_group: bool):
-    BG, GL = qkv_ref.shape[0], qkv_ref.shape[1]
-    C = qkv_ref.shape[2] // 3
-    qkv = qkv_ref[:].reshape(BG * GL, 3 * C)
-    q, k, v = _peel(qkv, BG, GL, C, nh)
-
-    sm_t = jnp.float32 if qkv.dtype == jnp.float32 else qkv.dtype
-    pr = _probs(q, k, bias_ref, gmask_ref, BG=BG, nh=nh, scale=scale,
-                mask_per_group=mask_per_group, sm_t=sm_t).astype(qkv.dtype)
-
-    pv = jax.lax.dot_general(
-        pr, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # (BG*nh, GL, hd)
-    outs = [jnp.concatenate([pv[g * nh + h] for h in range(nh)], axis=-1)
-            for g in range(BG)]
-    out = jnp.concatenate(outs, axis=0)                      # (BG*GL, C) fp32
-    o_ref[:] = out.astype(qkv.dtype).reshape(BG, GL, C)
+def _seg_softmax_fwd(logits, gmask_g, GL: int, chunk: int, sm_t):
+    """Segmented softmax over each GL-lane head segment of (GL, chunk*GL)
+    fp32 logits (+ per-group additive mask)."""
+    segs = []
+    for j in range(chunk):
+        s = logits[:, j * GL:(j + 1) * GL] + gmask_g
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        segs.append(e / jnp.sum(e, axis=-1, keepdims=True))
+    return jnp.concatenate(segs, axis=1).astype(sm_t)
 
 
-def _bwd_kernel(qkv_ref, bias_ref, gmask_ref, dao_ref, dqkv_ref, dbias_ref,
-                *, nh: int, scale: float, mask_per_group: bool):
-    BG, GL = qkv_ref.shape[0], qkv_ref.shape[1]
-    C = qkv_ref.shape[2] // 3
-    hd = C // nh
-    qkv = qkv_ref[:].reshape(BG * GL, 3 * C)
-    q, k, v = _peel(qkv, BG, GL, C, nh)
-
-    # recompute probs in fp32 (the forward's bf16 rounding of pr is below
-    # bf16 gradient noise; fp32 here keeps the softmax-backward stable)
-    pr32 = _probs(q, k, bias_ref, gmask_ref, BG=BG, nh=nh, scale=scale,
-                  mask_per_group=mask_per_group, sm_t=jnp.float32)
-    pr = pr32.astype(qkv.dtype)
-
-    # peel dao to per-(group, head) stacks, mirroring the fwd concat
-    dao = dao_ref[:].reshape(BG * GL, C)
-    daos = []
-    for g in range(BG):
-        rows = slice(g * GL, (g + 1) * GL)
-        for h in range(nh):
-            daos.append(dao[rows, h * hd:(h + 1) * hd])
-    dao_h = jnp.stack(daos)                                  # (BG*nh, GL, hd)
-
-    # dv = pr^T @ dao ; dpr = dao @ v^T
-    dv = jax.lax.dot_general(
-        pr, dao_h, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # (BG*nh, GL, hd)
-    dpr = jax.lax.dot_general(
-        dao_h, v, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # (BG*nh, GL, GL)
-
-    # softmax backward (fp32): ds = pr * (dpr - rowsum(dpr * pr))
-    ds = pr32 * (dpr - jnp.sum(dpr * pr32, axis=-1, keepdims=True))
-
-    # bias cotangent: sum over groups in this block, accumulated over grid
-    dbias = ds.reshape(BG, nh, GL, GL).sum(0)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        dbias_ref[:] = dbias
-
-    @pl.when(pl.program_id(0) > 0)
-    def _():
-        dbias_ref[:] = dbias_ref[:] + dbias
-
-    ds16 = (ds * jnp.asarray(scale, jnp.float32)).astype(qkv.dtype)
-    dq = jax.lax.dot_general(
-        ds16, k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # (BG*nh, GL, hd)
-    dk = jax.lax.dot_general(
-        ds16, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                  # (BG*nh, GL, hd)
-
-    outs = []
-    for g in range(BG):
-        cols = ([dq[g * nh + h] for h in range(nh)]
-                + [dk[g * nh + h] for h in range(nh)]
-                + [dv[g * nh + h] for h in range(nh)])
-        outs.append(jnp.concatenate(cols, axis=-1))          # (GL, 3C)
-    dqkv = jnp.concatenate(outs, axis=0)                     # (BG*GL, 3C)
-    dqkv_ref[:] = dqkv.astype(qkv.dtype).reshape(BG, GL, 3 * C)
+def _fwd_kernel(qkv_ref, biasc_ref, gmask_ref, o_ref,
+                *, nh: int, scale: float, mask_per_group: bool, BWg: int,
+                wh: int, Gww: int, C: int):
+    GL = wh * Gww
+    chunks = _head_chunks(nh)
+    masks = [_chunk_mask(nh, h0, c, GL, C) for h0, c in chunks]
+    for g in range(BWg):
+        cols = slice(g * Gww, (g + 1) * Gww)
+        qkv = qkv_ref[0][:, cols, :].reshape(GL, 3 * C)
+        q = qkv[:, :C]
+        k = qkv[:, C:2 * C]
+        v = qkv[:, 2 * C:]
+        gm = gmask_ref[g if mask_per_group else 0].astype(jnp.float32)
+        out = None
+        for ci, (h0, chunk) in enumerate(chunks):
+            mask = masks[ci]
+            kexp = _expand(k, chunk, mask)                 # (cGL, C)
+            vexp = _expand(v, chunk, mask)
+            logits = jax.lax.dot_general(
+                q, kexp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (GL, cGL)
+            logits = logits * jnp.asarray(scale, jnp.float32) \
+                + biasc_ref[:, h0 * GL:(h0 + chunk) * GL].astype(jnp.float32)
+            pr = _seg_softmax_fwd(logits, gm, GL, chunk, q.dtype)
+            o = jax.lax.dot_general(
+                pr, vexp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (GL, C) head-cols
+            out = o if out is None else out + o
+        o_ref[0, :, cols, :] = out.astype(qkv.dtype).reshape(wh, Gww, C)
 
 
-def _block_groups(Bg: int, nG: int, GL: int, C: int, nh: int,
-                  bwd: bool) -> int:
-    """Groups per grid step, bounded by a per-step VMEM estimate and by the
-    constraint that the per-image group count nG stays divisible (so the
-    gmask block index j % (nG // BG) is exact)."""
-    hd = C // nh
-    per_group = (GL * 3 * C * (2 + 4)            # qkv tile + fp32 copies
-                 + nh * GL * GL * 4 * (3 if not bwd else 5)  # logits/probs/(ds,dpr)
-                 + 3 * nh * GL * hd * 4)         # head stacks
-    if bwd:
-        per_group += GL * 3 * C * 4 + GL * C * 4  # dqkv, dao tiles
-    budget = 8 * 1024 * 1024
-    BG = max(1, min(nG, budget // per_group, 32))
-    while nG % BG or Bg % BG:
-        BG -= 1
-    return BG
+def _bwd_kernel(qkv_ref, biasc_ref, gmask_ref, dao_ref,
+                dqkv_ref, dbias_ref,
+                *, nh: int, scale: float, mask_per_group: bool, BWg: int,
+                wh: int, Gww: int, C: int):
+    GL = wh * Gww
+    chunks = _head_chunks(nh)
+    masks = [_chunk_mask(nh, h0, c, GL, C) for h0, c in chunks]
+    for g in range(BWg):
+        cols = slice(g * Gww, (g + 1) * Gww)
+        qkv = qkv_ref[0][:, cols, :].reshape(GL, 3 * C)
+        q = qkv[:, :C]
+        k = qkv[:, C:2 * C]
+        v = qkv[:, 2 * C:]
+        dao = dao_ref[0][:, cols, :].reshape(GL, C)
+        gm = gmask_ref[g if mask_per_group else 0].astype(jnp.float32)
+        dq_acc = dk_acc = dv_acc = None
+        dbias_parts = []
+        for ci, (h0, chunk) in enumerate(chunks):
+            mask = masks[ci]
+            kexp = _expand(k, chunk, mask)
+            vexp = _expand(v, chunk, mask)
+            logits = jax.lax.dot_general(
+                q, kexp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = logits * jnp.asarray(scale, jnp.float32) \
+                + biasc_ref[:, h0 * GL:(h0 + chunk) * GL].astype(jnp.float32)
+            # fp32 probs (softmax-backward stability)
+            pr32 = _seg_softmax_fwd(logits, gm, GL, chunk, jnp.float32)
+            pr = pr32.astype(qkv.dtype)
+
+            # dpr = dao @ vexp^T ; dvexp = pr^T @ dao
+            dpr = jax.lax.dot_general(
+                dao, vexp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (GL, cGL)
+            dvexp = jax.lax.dot_general(
+                pr, dao, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (cGL, C)
+
+            # segmented softmax backward
+            ds_segs = []
+            for j in range(chunk):
+                p = pr32[:, j * GL:(j + 1) * GL]
+                d = dpr[:, j * GL:(j + 1) * GL]
+                ds_segs.append(p * (d - jnp.sum(d * p, axis=-1,
+                                                keepdims=True)))
+            ds = jnp.concatenate(ds_segs, axis=1)          # (GL, cGL) fp32
+            dbias_parts.append(ds)
+            ds16 = (ds * jnp.asarray(scale, jnp.float32)).astype(qkv.dtype)
+
+            # dq = ds @ kexp ; dkexp = ds^T @ q
+            dq_c = jax.lax.dot_general(
+                ds16, kexp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (GL, C)
+            dkexp = jax.lax.dot_general(
+                ds16, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (cGL, C)
+
+            # collapse expansions: sum masked row-blocks back to (GL, C)
+            zero = jnp.zeros((), jnp.float32)
+            dk_c = dv_c = None
+            for j in range(chunk):
+                rows = slice(j * GL, (j + 1) * GL)
+                mrow = masks[ci][rows]
+                kb = jnp.where(mrow, dkexp[rows], zero)
+                vb = jnp.where(mrow, dvexp[rows], zero)
+                dk_c = kb if dk_c is None else dk_c + kb
+                dv_c = vb if dv_c is None else dv_c + vb
+
+            dq_acc = dq_c if dq_acc is None else dq_acc + dq_c
+            dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
+            dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
+
+        dqkv = jnp.concatenate([dq_acc, dk_acc, dv_acc], axis=1)
+        dqkv_ref[0, :, cols, :] = dqkv.astype(qkv.dtype).reshape(
+            wh, Gww, 3 * C)
+
+        dbias = jnp.concatenate(dbias_parts, axis=1)       # (GL, nh*GL)
+
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (g == 0))
+        def _():
+            dbias_ref[:] = dbias
+
+        @pl.when((pl.program_id(0) > 0) | (pl.program_id(1) > 0) | (g > 0))
+        def _():
+            dbias_ref[:] = dbias_ref[:] + dbias
 
 
-def _core_fwd_impl(qkv, bias, gmask, nh: int, scale: float, interpret: bool):
-    Bg, GL, C3 = qkv.shape
+def _groups_per_step(nWg: int, GL: int, C: int, nh: int, bwd: bool) -> int:
+    chunk = _head_chunks(nh)[0][1]
+    per_group = (chunk * GL * GL * 4 * (4 if not bwd else 7)  # seg buffers
+                 + 2 * chunk * GL * C * 2                     # kexp/vexp
+                 + (4 if not bwd else 8) * GL * C * 4)        # io + grads
+    budget = 11 * 1024 * 1024
+    BWg = max(1, min(nWg, budget // per_group, 32))
+    while nWg % BWg:
+        BWg -= 1
+    return BWg
+
+
+def _call(kernel_body, qkv, bias_cat, gmask, dao, nh, scale, nH, bwd,
+          interpret):
+    R, wh, W, C3 = qkv.shape
     C = C3 // 3
+    GL = bias_cat.shape[0]
+    Gww = GL // wh
+    nWg = W // Gww
     mask_per_group = gmask.shape[0] != 1
-    nG = gmask.shape[0] if mask_per_group else Bg
-    BG = _block_groups(Bg, nG, GL, C, nh, bwd=False)
-    nGB = (nG // BG) if mask_per_group else 1
+    BWg = _groups_per_step(nWg, GL, C, nh, bwd)
+    nWB = nWg // BWg
+
+    qkv_spec = pl.BlockSpec((1, wh, BWg * Gww, 3 * C),
+                            lambda i, j: (i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((1, wh, BWg * Gww, C), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+    biasc_spec = pl.BlockSpec((GL, nh * GL), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM)
     if mask_per_group:
-        gmask_spec = pl.BlockSpec((BG, GL, GL), lambda j: (j % nGB, 0, 0),
-                                  memory_space=pltpu.VMEM)
+        # gmask rows are (h_row, wg) row-major over (nH, nWg); grid row
+        # i = b * nH + h_row
+        gmask_spec = pl.BlockSpec(
+            (BWg, GL, GL),
+            lambda i, j: ((i % nH) * nWB + j, 0, 0),
+            memory_space=pltpu.VMEM)
     else:
-        gmask_spec = pl.BlockSpec((1, GL, GL), lambda j: (0, 0, 0),
+        gmask_spec = pl.BlockSpec((1, GL, GL), lambda i, j: (0, 0, 0),
                                   memory_space=pltpu.VMEM)
-    kernel = functools.partial(_fwd_kernel, nh=nh, scale=scale,
-                               mask_per_group=mask_per_group)
+
+    kernel = functools.partial(kernel_body, nh=nh, scale=scale,
+                               mask_per_group=mask_per_group, BWg=BWg,
+                               wh=wh, Gww=Gww, C=C)
+    grid = (R, nWB)
+    if not bwd:
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[qkv_spec, biasc_spec, gmask_spec],
+            out_specs=io_spec,
+            out_shape=jax.ShapeDtypeStruct((R, wh, W, C), qkv.dtype),
+            interpret=interpret,
+        )(qkv, bias_cat, gmask)
     return pl.pallas_call(
         kernel,
-        grid=(Bg // BG,),
-        in_specs=[
-            pl.BlockSpec((BG, GL, 3 * C), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, GL, GL), lambda j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            gmask_spec,
-        ],
-        out_specs=pl.BlockSpec((BG, GL, C), lambda j: (j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bg, GL, C), qkv.dtype),
-        interpret=interpret,
-    )(qkv, bias, gmask)
-
-
-def _core_bwd_impl(qkv, bias, gmask, dao, nh: int, scale: float,
-                   interpret: bool):
-    Bg, GL, C3 = qkv.shape
-    C = C3 // 3
-    mask_per_group = gmask.shape[0] != 1
-    nG = gmask.shape[0] if mask_per_group else Bg
-    BG = _block_groups(Bg, nG, GL, C, nh, bwd=True)
-    nGB = (nG // BG) if mask_per_group else 1
-    if mask_per_group:
-        gmask_spec = pl.BlockSpec((BG, GL, GL), lambda j: (j % nGB, 0, 0),
-                                  memory_space=pltpu.VMEM)
-    else:
-        gmask_spec = pl.BlockSpec((1, GL, GL), lambda j: (0, 0, 0),
-                                  memory_space=pltpu.VMEM)
-    kernel = functools.partial(_bwd_kernel, nh=nh, scale=scale,
-                               mask_per_group=mask_per_group)
-    dqkv, dbias = pl.pallas_call(
-        kernel,
-        grid=(Bg // BG,),
-        in_specs=[
-            pl.BlockSpec((BG, GL, 3 * C), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, GL, GL), lambda j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            gmask_spec,
-            pl.BlockSpec((BG, GL, C), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((BG, GL, 3 * C), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, GL, GL), lambda j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=grid,
+        in_specs=[qkv_spec, biasc_spec, gmask_spec, io_spec],
+        out_specs=[qkv_spec, biasc_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((Bg, GL, 3 * C), qkv.dtype),
-            jax.ShapeDtypeStruct((nh, GL, GL), jnp.float32),
+            jax.ShapeDtypeStruct((R, wh, W, 3 * C), qkv.dtype),
+            jax.ShapeDtypeStruct((GL, nh * GL), jnp.float32),
         ],
         interpret=interpret,
-    )(qkv, bias, gmask, dao)
-    return dqkv, dbias
+    )(qkv, bias_cat, gmask, dao)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def attn_core(qkv: jnp.ndarray, bias: jnp.ndarray, gmask: jnp.ndarray,
-              nh: int, scale: float) -> jnp.ndarray:
-    """Grouped window attention core with a Pallas forward AND backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def attn_core(qkv: jnp.ndarray, bias_cat: jnp.ndarray, gmask: jnp.ndarray,
+              nh: int, scale: float, nH: int) -> jnp.ndarray:
+    """Natural-layout grouped window attention with Pallas fwd AND bwd.
 
-    qkv (Bg, GL, 3C) -> ao (Bg, GL, C).  bias is differentiable (chains to
-    the relative-position-bias table); gmask is a constant additive mask.
-    """
+    qkv (R, wh, W, 3C) fused [q|k|v] -> ao (R, wh, W, C); each (wh, Gww)
+    tile attends internally (Gww = GL // wh from bias_cat).  bias_cat and
+    gmask are in NATURAL token order (natural_token_perm); bias_cat is
+    differentiable, gmask constant.  nH = window rows per image (locates a
+    row-strip's masks within gmask)."""
     interpret = jax.default_backend() == "cpu"
-    return _core_fwd_impl(qkv, bias, gmask, nh, scale, interpret)
+    return _call(_fwd_kernel, qkv, bias_cat, gmask, None, nh, scale, nH,
+                 False, interpret)
 
 
-def _vjp_fwd(qkv, bias, gmask, nh, scale):
+def _vjp_fwd(qkv, bias_cat, gmask, nh, scale, nH):
     interpret = jax.default_backend() == "cpu"
-    ao = _core_fwd_impl(qkv, bias, gmask, nh, scale, interpret)
-    return ao, (qkv, bias, gmask)
+    ao = _call(_fwd_kernel, qkv, bias_cat, gmask, None, nh, scale, nH,
+               False, interpret)
+    return ao, (qkv, bias_cat, gmask)
 
 
-def _vjp_bwd(nh, scale, res, dao):
-    qkv, bias, gmask = res
+def _vjp_bwd(nh, scale, nH, res, dao):
+    qkv, bias_cat, gmask = res
     interpret = jax.default_backend() == "cpu"
-    dqkv, dbias = _core_bwd_impl(qkv, bias, gmask, dao.astype(qkv.dtype),
-                                 nh, scale, interpret)
-    return dqkv, dbias.astype(bias.dtype), jnp.zeros_like(gmask)
+    dqkv, dbias = _call(_bwd_kernel, qkv, bias_cat, gmask,
+                        dao.astype(qkv.dtype), nh, scale, nH, True,
+                        interpret)
+    return dqkv, dbias.astype(bias_cat.dtype), jnp.zeros_like(gmask)
 
 
 attn_core.defvjp(_vjp_fwd, _vjp_bwd)
