@@ -47,12 +47,15 @@ Layouts:
             order (constant; bf16 is exact for its 0/-100/-1e9 values)
   out:      (R, wh, W, C)
 
-A fully-fused variant (LN + qkv + attention + proj in one kernel with
-in-kernel weight-grad accumulation) was tried and REVERTED: pulling the
-dense projections into the per-group kernel fragments the model's largest,
-most efficient GEMMs ((tokens, C) x (C, 3C)) into thousands of (GL, C)
-matmuls — train dropped 155 -> 145 img/s and inference 664 -> 538.  The
-projections belong in XLA; only the O(GL^2) work belongs here.
+Two fuller fusions were tried and REVERTED (keep the measurements):
+- per-GROUP fused half-block (LN+qkv+attn+proj per (GL, C) tile): fragments
+  the model's largest GEMMs — train 155 -> 145, inference 664 -> 538;
+- per-STEP fused half-block (GEMMs over all BWg groups per grid step,
+  natural layout + expanded heads): inference 664 -> 611 — still behind
+  window_msa.py's fused kernels, whose grouped-layout GEMMs + in-kernel
+  peel win at inference despite the partition transposes.
+The training sweet spot is this file's v4 composition: whole-tensor XLA
+GEMMs around a natural-layout O(GL^2) core with a custom VJP.
 
 NB: all timings above use host-read serialization — block_until_ready is
 unreliable on the axon platform.
