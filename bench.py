@@ -1,12 +1,17 @@
 """Throughput benchmark: range-images/sec/chip, TULIP-base DurLAR 32x2048 ->
 128x2048 (the BASELINE.json north-star config).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"tflops", "gflop_per_img"}.
 
 vs_baseline: ratio against BASELINE.json's published reference number
 (published.a100_pytorch_images_per_sec) when present; otherwise against the
-first recorded TPU measurement in BASELINE.json (published.first_tpu_record)
-so round-over-round progress is visible; otherwise null.
+first recorded TPU measurement in BASELINE.json (published.first_tpu_record).
+NOTE: with no A100 in this environment the latter is progress-tracking only,
+not an external baseline — the honest absolute account is the MFU fields:
+analytic useful FLOPs (tulip_tpu/utils/flops.py, excludes padding waste)
+achieved per second as a fraction of the chip's dense bf16 peak.  See
+BASELINE.md "A100-baseline policy".
 """
 
 import argparse
@@ -134,11 +139,21 @@ def main():
         if ref:
             vs_baseline = round(value / float(ref), 3)
 
+    from tulip_tpu.utils.flops import (chip_peak_tflops, mfu,
+                                       model_forward_flops, model_train_flops)
+    flops_per_img = (model_forward_flops(cfg) if args.mode == "infer"
+                     else model_train_flops(cfg))
+    peak = chip_peak_tflops()
+    tflops, util = mfu(value, flops_per_img, peak)
+
     metric = ("range-images/sec/chip 32->128 upsampling"
               if args.mode == "infer"
               else "train images/sec/chip 32->128")
     print(json.dumps({"metric": metric, "value": round(value, 2),
-                      "unit": "images/sec/chip", "vs_baseline": vs_baseline}))
+                      "unit": "images/sec/chip", "vs_baseline": vs_baseline,
+                      "mfu": round(util, 4), "tflops": round(tflops, 2),
+                      "gflop_per_img": round(flops_per_img / 1e9, 2),
+                      "peak_tflops": peak}))
 
 
 if __name__ == "__main__":
