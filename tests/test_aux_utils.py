@@ -77,3 +77,42 @@ def test_profiler_trace_writes(tmp_path):
         _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
     import os
     assert os.path.isdir(tmp_path / "prof")
+
+
+def test_initialize_decoder_weights_matches_reference(reference_tulip):
+    """Behavioral parity of the dead enc<-dec key-transplant helper
+    (reference: tulip/util/misc.py:218-249) on a synthetic state dict."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine_parity import _install_engine_stubs
+    _install_engine_stubs()
+    import util.misc as ref_misc
+
+    def make_sd():
+        keys = []
+        for i in range(3):
+            keys += [f"layers.{i}.blocks.0.attn.qkv.weight",
+                     f"layers.{i}.downsample.reduction.weight",
+                     f"layers_up.{i}.blocks.0.attn.qkv.weight"]
+        keys += ["layers_up.0.upsample.expand.weight",
+                 "layers_up.1.upsample.expand.weight",
+                 "patch_embed.proj.weight", "norm_up.weight",
+                 # NB 'skip_connection_layers.0' would itself match the
+                 # 'layers.0' substring remap and KeyError in the reference
+                 # too; use an index outside 0-2 for the happy path
+                 "decoder_pred.weight", "skip_connection_layers.4.weight",
+                 "first_patch_expanding.expand.weight", "layers.3.blocks.0.x"]
+        return {k: i for i, k in enumerate(keys)}
+
+    from tulip_tpu.utils.checkpoint import initialize_decoder_weights
+    ours = make_sd()
+    theirs = make_sd()
+    # layers.i.downsample -> layers_up.j.upsample.reduction never exists in a
+    # real TULIP state dict (upsample keys are .expand), so the reference
+    # KeyErrors on those; drop them to exercise the happy path both sides.
+    for sd in (ours, theirs):
+        for i in range(3):
+            del sd[f"layers.{i}.downsample.reduction.weight"]
+    out_ours = initialize_decoder_weights(ours)
+    out_theirs = ref_misc.initialize_decoder_weights(theirs)
+    assert out_ours == out_theirs

@@ -10,7 +10,8 @@ from tulip_tpu.parallel.dist import (                     # noqa: F401
     all_reduce_mean, barrier, get_rank, get_world_size, is_main_process)
 from tulip_tpu.parallel.mesh import init_distributed_mode  # noqa: F401
 from tulip_tpu.utils.checkpoint import (                  # noqa: F401
-    load_checkpoint, load_model, save_checkpoint, save_model)
+    initialize_decoder_weights, load_checkpoint, load_model, save_checkpoint,
+    save_model)
 
 
 class NativeScalerWithGradNormCount:

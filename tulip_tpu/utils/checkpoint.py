@@ -188,3 +188,34 @@ def load_model(args, params, opt_state=None):
             and ckpt.get("format") == "tulip_tpu":
         start_epoch = ckpt.get("epoch", 0) + 1
     return new_params, new_opt_state, start_epoch
+
+
+def initialize_decoder_weights(pretrain_model: Dict[str, Any]) -> Dict[str, Any]:
+    """Verbatim-behavior port of the reference's dead helper
+    (tulip/util/misc.py:218-249): transplants decoder-stage weights into the
+    mirrored encoder-stage keys (layers_up.{2,1,0} -> layers.{0,1,2}, with
+    downsample->upsample key rewriting), then strips head / decoder_pred /
+    skip_connection / first_patch_expanding / output_weights and every
+    remaining key containing 'up'.  Mutates and returns ``pretrain_model``.
+    Never called at runtime in the reference either — kept for 100% API
+    surface parity."""
+    for k in list(pretrain_model.keys()):
+        for src, dst in (("layers.0", "layers_up.2"),
+                         ("layers.1", "layers_up.1"),
+                         ("layers.2", "layers_up.0")):
+            if src in k:
+                new_key = k.replace(src, dst)
+                if "downsample" in new_key:
+                    new_key = new_key.replace("downsample", "upsample")
+                pretrain_model[k] = pretrain_model[new_key]
+                del pretrain_model[new_key]
+
+    for k in list(pretrain_model.keys()):
+        if ("head" in k or "decoder_pred" in k or "skip_connection" in k
+                or "first_patch_expanding" in k or "output_weights" in k
+                or "up" in k):
+            print(f"Removing key {k} from pretrained checkpoint")
+            del pretrain_model[k]
+
+    print(pretrain_model.keys())
+    return pretrain_model
