@@ -30,7 +30,8 @@ import tqdm
 from ..models.tulip import TulipModel, apply_model
 from ..utils.writer import colorize_range_image, write_ply
 from .geometry import img_to_pcd_carla, img_to_pcd_durlar, img_to_pcd_kitti
-from .metrics import calculate_metrics, chamfer_distance, voxelize_point_cloud
+from .metrics import (calculate_metrics, chamfer_distance,
+                      chamfer_distance_async, voxelize_point_cloud)
 
 _GATES = {  # evaluate-path gates (engine:183-188)
     "carla": (2 / 80, 1.0),
@@ -48,20 +49,25 @@ _FWD_CACHE: dict = {}  # jitted forwards keyed by (model id, flags)
 
 
 def _make_eval_forward(model: TulipModel, dataset: str, log_transform: bool,
-                       gates, compute_dtype):
+                       gates, compute_dtype, sp_forward=None):
     """Jitted: forward + de-log + gate + loss map (device side of
     engine:168-193).  Cached so repeated evaluate()/MCdrop() calls on the
-    same model reuse the compiled program."""
+    same model reuse the compiled program.  ``sp_forward`` optionally
+    replaces the plain forward with a W-sharded one
+    (parallel.sp.make_sp_forward, mode='eval')."""
     key = ("eval", id(model), dataset, log_transform, id(gates),
-           str(compute_dtype))
+           str(compute_dtype), id(sp_forward))
     if key in _FWD_CACHE:
         return _FWD_CACHE[key]
     lo, hi = gates.get(dataset, (None, None))
 
     @jax.jit
     def fwd(params, low, high):
-        pred, _, _ = apply_model(params, model, low, high, mode="eval",
-                                 compute_dtype=compute_dtype)
+        if sp_forward is not None:
+            pred = sp_forward(params, low)
+        else:
+            pred, _, _ = apply_model(params, model, low, high, mode="eval",
+                                     compute_dtype=compute_dtype)
         pred = pred.astype(jnp.float32)
         high32 = high.astype(jnp.float32)
         low32 = low.astype(jnp.float32)
@@ -78,15 +84,19 @@ def _make_eval_forward(model: TulipModel, dataset: str, log_transform: bool,
     return fwd
 
 
-def _make_mc_forward(model: TulipModel, compute_dtype):
+def _make_mc_forward(model: TulipModel, compute_dtype, sp_forward=None):
     """Jitted MC forward: one batch of dropout-active forwards
-    (engine:409-421; model called with mc_drop=True, tulip.py:733-734)."""
-    key = ("mc", id(model), str(compute_dtype))
+    (engine:409-421; model called with mc_drop=True, tulip.py:733-734).
+    ``sp_forward`` optionally replaces the plain forward with a W-sharded
+    one (parallel.sp.make_sp_forward, mode='mc')."""
+    key = ("mc", id(model), str(compute_dtype), id(sp_forward))
     if key in _FWD_CACHE:
         return _FWD_CACHE[key]
 
     @jax.jit
     def fwd(params, low_tiled, rng):
+        if sp_forward is not None:
+            return sp_forward(params, low_tiled, rng).astype(jnp.float32)
         return apply_model(params, model, low_tiled, None, mode="mc",
                            rng=rng, mc_drop=True,
                            compute_dtype=compute_dtype).astype(jnp.float32)
@@ -130,7 +140,8 @@ def _sample_3d_metrics(dataset, pred_img, images_high_res, images_low_res,
     pcd_pred = _project(dataset, pred_img, mc)
     pcd_gt = _project(dataset, images_high_res, mc)
 
-    chamfer_dist = chamfer_distance(pcd_gt, pcd_pred)
+    # dispatch the device NN sweep, voxelize on host while it runs, then read
+    chamfer_handle = chamfer_distance_async(pcd_gt, pcd_pred)
 
     pcd_all = np.vstack((pcd_pred, pcd_gt))
     min_coord = np.min(pcd_all, axis=0)
@@ -139,6 +150,7 @@ def _sample_3d_metrics(dataset, pred_img, images_high_res, images_low_res,
     voxel_gt = voxelize_point_cloud(pcd_gt, args.grid_size, min_coord, max_coord)
     iou, precision, recall = calculate_metrics(voxel_pred, voxel_gt)
     f1 = 2 * (precision * recall) / (precision + recall)
+    chamfer_dist = chamfer_handle()
     return loss_low_res_part, chamfer_dist, iou, precision, recall, f1, pcd_pred, pcd_gt
 
 
@@ -198,7 +210,7 @@ def _finalize(evaluation_metrics, totals, global_step, log_writer, args,
 
 
 def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
-             compute_dtype=jnp.float32):
+             compute_dtype=jnp.float32, sp_forward=None):
     """Plain evaluation (reference: engine_upsampling.py:126-356)."""
     h_low_res = tuple(args.img_size_low_res)[0]
     h_high_res = tuple(args.img_size_high_res)[0]
@@ -206,7 +218,7 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
     dataset = args.dataset_select
 
     fwd = _make_eval_forward(model, dataset, args.log_transform, _GATES,
-                             compute_dtype)
+                             compute_dtype, sp_forward=sp_forward)
 
     global_step = 0
     local_step = 0
@@ -215,16 +227,9 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
                           ('mae', 'chamfer_dist', 'iou', 'precision',
                            'recall', 'f1')}
 
-    for batch in tqdm.tqdm(data_loader):
-        low = jnp.asarray(batch[0]['sample'])
-        high = jnp.asarray(batch[1]['sample'])
-        global_step += 1
-
-        pred, high32, low32, loss_map, mae = fwd(params, low, high)
-
-        if log_writer is None:
-            continue  # parity: metrics only on the logging rank (engine:174)
-
+    def process(step, outs):
+        nonlocal local_step
+        pred, high32, low32, loss_map, mae = outs
         mae = float(mae)
         images_high_res = np.asarray(high32).squeeze()
         images_low_res = np.asarray(low32).squeeze()
@@ -242,11 +247,11 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
         evaluation_metrics['recall'].append(recall)
         evaluation_metrics['f1'].append(f1)
 
-        if global_step % 100 == 0 or global_step == 1:
-            _log_sample(log_writer, local_step, global_step, images_high_res,
-                        pred_img, loss_map, mae, loss_low_res_part,
-                        chamfer_dist, iou, precision, recall, pcd_pred, pcd_gt,
-                        args, 'pcd')
+        if step % 100 == 0 or step == 1:
+            _log_sample(log_writer, local_step, step,
+                        images_high_res, pred_img, loss_map, mae,
+                        loss_low_res_part, chamfer_dist, iou, precision,
+                        recall, pcd_pred, pcd_gt, args, 'pcd')
             local_step += 1
 
         totals['iou'] += iou
@@ -256,12 +261,31 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
         totals['precision'] += precision
         totals['recall'] += recall
 
+    # one-sample lookahead: sample k+1's forward is dispatched before sample
+    # k's host-side metrics run, overlapping host 3D metrics with device
+    # compute (jax dispatch is async; only the np.asarray reads block)
+    pending = None
+    for batch in tqdm.tqdm(data_loader):
+        low = jnp.asarray(batch[0]['sample'])
+        high = jnp.asarray(batch[1]['sample'])
+        global_step += 1
+
+        outs = fwd(params, low, high)
+
+        if log_writer is None:
+            continue  # parity: metrics only on the logging rank (engine:174)
+        if pending is not None:
+            process(*pending)
+        pending = (global_step, outs)
+    if pending is not None:
+        process(*pending)
+
     return _finalize(evaluation_metrics, totals, global_step, log_writer,
                      args, 'results.txt')
 
 
 def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
-           compute_dtype=jnp.float32):
+           compute_dtype=jnp.float32, sp_forward=None):
     """Monte-Carlo-dropout evaluation (reference: engine:361-608).
 
     Runs num_mcdropout_iterations dropout-active forwards in tiles of 8,
@@ -280,7 +304,7 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
     downsampling_factor = h_high_res // h_low_res
     dataset = args.dataset_select
 
-    mc_fwd = _make_mc_forward(model, compute_dtype)
+    mc_fwd = _make_mc_forward(model, compute_dtype, sp_forward=sp_forward)
 
     lo, hi = _GATES_MC.get(dataset, (None, None))
 
@@ -316,27 +340,9 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
                            'recall', 'f1')}
     base_rng = jax.random.PRNGKey(args.seed)
 
-    for batch in tqdm.tqdm(data_loader):
-        low = jnp.asarray(batch[0]['sample'])    # (1, C, H, W)
-        high = jnp.asarray(batch[1]['sample'])
-        global_step += 1
-
-        # fixed-size chunks (one compiled shape); surplus MC draws in the
-        # last chunk are sliced off, preserving the reference's exact
-        # iteration count (engine:411-421)
-        chunks = []
-        n_chunks = int(np.ceil(iteration / iteration_batch))
-        tiled = jnp.tile(low, (iteration_batch, 1, 1, 1))
-        for i in range(n_chunks):
-            rng = jax.random.fold_in(jax.random.fold_in(base_rng, global_step), i)
-            chunks.append(mc_fwd(params, tiled, rng))
-        preds = jnp.concatenate(chunks, axis=0)[:iteration]
-
-        pred, high32, low32, loss_map, mae = postprocess(preds, low, high)
-
-        if log_writer is None:
-            continue
-
+    def process(step, outs):
+        nonlocal local_step
+        pred, high32, low32, loss_map, mae = outs
         mae = float(mae)
         images_high_res = np.asarray(high32).squeeze()
         images_low_res = np.asarray(low32).squeeze()
@@ -354,8 +360,8 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
         evaluation_metrics['recall'].append(recall)
         evaluation_metrics['f1'].append(f1)
 
-        if global_step % 100 == 0 or global_step == 1:
-            _log_sample(log_writer, local_step, global_step, images_high_res,
+        if step % 100 == 0 or step == 1:
+            _log_sample(log_writer, local_step, step, images_high_res,
                         pred_img, loss_map, mae, loss_low_res_part,
                         chamfer_dist, iou, precision, recall, pcd_pred, pcd_gt,
                         args, 'pcd_mc_drop')
@@ -367,6 +373,34 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
         totals['f1'] += f1
         totals['precision'] += precision
         totals['recall'] += recall
+
+    # one-sample lookahead (same rationale as evaluate())
+    pending = None
+    for batch in tqdm.tqdm(data_loader):
+        low = jnp.asarray(batch[0]['sample'])    # (1, C, H, W)
+        high = jnp.asarray(batch[1]['sample'])
+        global_step += 1
+
+        # fixed-size chunks (one compiled shape); surplus MC draws in the
+        # last chunk are sliced off, preserving the reference's exact
+        # iteration count (engine:411-421)
+        chunks = []
+        n_chunks = int(np.ceil(iteration / iteration_batch))
+        tiled = jnp.tile(low, (iteration_batch, 1, 1, 1))
+        for i in range(n_chunks):
+            rng = jax.random.fold_in(jax.random.fold_in(base_rng, global_step), i)
+            chunks.append(mc_fwd(params, tiled, rng))
+        preds = jnp.concatenate(chunks, axis=0)[:iteration]
+
+        outs = postprocess(preds, low, high)
+
+        if log_writer is None:
+            continue
+        if pending is not None:
+            process(*pending)
+        pending = (global_step, outs)
+    if pending is not None:
+        process(*pending)
 
     return _finalize(evaluation_metrics, totals, global_step, log_writer,
                      args, 'results_mcdrop.txt')

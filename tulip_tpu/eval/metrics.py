@@ -36,23 +36,54 @@ def chamfer_distance(points1: np.ndarray, points2: np.ndarray,
 
     points1/points2: (N, 3) / (M, 3) numpy or jax arrays.
     """
+    return chamfer_distance_async(points1, points2, num_points)()
+
+
+def chamfer_distance_async(points1, points2,
+                           num_points: Optional[int] = None):
+    """Dispatch the bidirectional sweep and return a () -> float handle.
+
+    The eval loop uses this to overlap the host-side voxel metrics with the
+    device NN sweep (the sweep is the dominant per-sample eval cost)."""
+    p1 = np.asarray(points1, dtype=np.float32)
+    p2 = np.asarray(points2, dtype=np.float32)
+    chunk = 4096 if max(p1.shape[0], p2.shape[0]) >= 4096 else 512
+    p1p = _pad_to_multiple(p1, chunk)
+    p2p = _pad_to_multiple(p2, chunk)
+    fn = _chamfer_pair_fn(chunk, num_points)
+    d1, d2 = fn(p1, p2p, p2, p1p)
+    # reading d1/d2 later serializes both directions' sweeps + reductions
+    return lambda: float(d1) + float(d2)
+
+
+_PAIR_CACHE: dict = {}
+
+
+def _chamfer_pair_fn(chunk: int, num_points: Optional[int]):
+    """Jitted bidirectional sweep: both NN directions and their reductions
+    in ONE dispatch (the eval loop calls this per sample; per-dispatch
+    overhead through the axon tunnel is ~5 ms)."""
+    from functools import partial
+
+    import jax
     import jax.numpy as jnp
 
     from ..ops import get_chamfer_impl
     impl = get_chamfer_impl()
+    key = (id(impl), chunk, num_points)
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
 
-    p1 = np.asarray(points1, dtype=np.float32)
-    p2 = np.asarray(points2, dtype=np.float32)
-    chunk = 4096 if max(p1.shape[0], p2.shape[0]) >= 4096 else 512
-    n1, n2 = p1.shape[0], p2.shape[0]
-    p1p = _pad_to_multiple(p1, chunk)
-    p2p = _pad_to_multiple(p2, chunk)
+    @partial(jax.jit, donate_argnums=())
+    def pair(p1, p2p, p2, p1p):
+        d1 = impl(p1, p2p, chunk=chunk)   # gt -> pred
+        d2 = impl(p2, p1p, chunk=chunk)   # pred -> gt
+        if num_points is None:
+            return jnp.mean(d1), jnp.mean(d2)
+        return jnp.sum(d1) / num_points, jnp.sum(d2) / num_points
 
-    d1 = impl(jnp.asarray(p1), jnp.asarray(p2p), chunk=chunk)  # gt -> pred
-    d2 = impl(jnp.asarray(p2), jnp.asarray(p1p), chunk=chunk)  # pred -> gt
-    if num_points is None:
-        return float(jnp.mean(d1)) + float(jnp.mean(d2))
-    return float(jnp.sum(d1) / num_points) + float(jnp.sum(d2) / num_points)
+    _PAIR_CACHE[key] = pair
+    return pair
 
 
 def mean_absolute_error(pred_img, gt_img) -> float:

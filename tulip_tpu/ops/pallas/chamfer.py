@@ -26,16 +26,18 @@ _LANES = 128
 def _kernel(a_ref, bt_ref, o_ref):
     j = pl.program_id(1)
 
-    a = a_ref[:].astype(jnp.float32)                    # (TN, 3)
-    bt = bt_ref[:].astype(jnp.float32)                  # (3, TM)
-    a2 = jnp.sum(a * a, axis=-1, keepdims=True)         # (TN, 1)
-    b2 = jnp.sum(bt * bt, axis=0, keepdims=True)        # (1, TM)
+    a = a_ref[:].astype(jnp.float32)                    # (TN, 8) augmented
+    bt = bt_ref[:].astype(jnp.float32)                  # (8, TM) augmented
+    # Augmented contraction (caller packs a=[x,y,z,1,0..], b'=[-2x,-2y,-2z,
+    # |b|^2,0..]) so ONE matmul yields |b_j|^2 - 2 a_i.b_j directly; the
+    # query-constant |a_i|^2 is added after the lane-min outside the kernel
+    # (min_j is invariant to it).  Folding the b2/a2 broadcasts into the MXU
+    # pass removes ~2 VPU ops per (i, j) pair — which dominated this kernel.
     # HIGHEST precision is load-bearing: the default (fast/bf16) matmul mode
     # loses ~3e-3 relative on the cross term, which catastrophically cancels
-    # in a2 + b2 - 2ab for nearest neighbors (errors of several meters^2)
-    cross = jnp.dot(a, bt, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    d = a2 + b2 - 2.0 * cross                           # (TN, TM)
+    # against a2 + b2 for nearest neighbors (errors of several meters^2).
+    d = jnp.dot(a, bt, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)    # (TN, TM)
     TN, TM = d.shape
     # lane-partial min via 128-aligned static slices: reshaping the lane dim
     # ((TN, TM) -> (TN, TM/128, 128)) silently mis-lowers on real TPUs
@@ -65,13 +67,20 @@ def min_sq_dists_pallas(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 4096,
         a = jnp.concatenate(
             [a, jnp.full((pad_n, a.shape[1]), 1e8, a.dtype)], axis=0)
     Np = a.shape[0]
-    # zero-pad the coordinate (contraction) dim 3 -> 8: Mosaic's physical
-    # tile padding of a K=3 contraction is undefined data, which corrupts
-    # the dot on real TPUs (correct under interpret mode only)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1)                        # (Np,)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)         # (M, 1)
+    # Augmented layout (see _kernel): K is zero-padded 3 -> 8 explicitly —
+    # Mosaic's physical tile padding of a K<8 contraction is undefined data,
+    # which corrupts the dot on real TPUs (correct under interpret mode only)
     K = 8
-    a = jnp.concatenate([a, jnp.zeros((Np, K - a.shape[1]), a.dtype)], axis=1)
+    ones = jnp.ones((Np, 1), jnp.float32)
+    a = jnp.concatenate([a, ones, jnp.zeros((Np, K - 4), jnp.float32)],
+                        axis=1)
     bt = jnp.concatenate(
-        [b, jnp.zeros((b.shape[0], K - b.shape[1]), b.dtype)], axis=1).T
+        [-2.0 * b, b2, jnp.zeros((b.shape[0], K - 4), jnp.float32)],
+        axis=1).T
     TM = chunk
 
     out = pl.pallas_call(
@@ -88,7 +97,7 @@ def min_sq_dists_pallas(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 4096,
         out_shape=jax.ShapeDtypeStruct((Np, _LANES), jnp.float32),
         interpret=interpret,
     )(a, bt)
-    return jnp.maximum(jnp.min(out, axis=-1), 0.0)[:N]
+    return jnp.maximum(jnp.min(out, axis=-1) + a2, 0.0)[:N]
 
 
 def _register():
