@@ -38,13 +38,27 @@ def init_distributed_mode(args) -> None:
     args.rank = rank
     args.launcher_world_size = world
     args.distributed = False
-    if world > 1 and rank > 0:
+    if int(os.environ.get("TULIP_TPU_MULTIHOST", "0")):
+        # Multi-host: one JAX process per host, each driving its local
+        # chips.  The coordinator is discovered the same way the reference
+        # discovers its NCCL rendezvous (misc.py:253-274): torchrun's
+        # RANK/WORLD_SIZE/MASTER_ADDR/MASTER_PORT env.  On TPU pods (and
+        # Slurm/OpenMPI) those are absent and jax auto-detects instead.
+        kwargs = {}
+        if "MASTER_ADDR" in os.environ and world > 1:
+            kwargs = dict(
+                coordinator_address=(os.environ["MASTER_ADDR"] + ":"
+                                     + os.environ.get("MASTER_PORT", "29500")),
+                num_processes=world,
+                process_id=rank,
+            )
+        jax.distributed.initialize(**kwargs)
+        args.distributed = True
+        args.rank = jax.process_index()
+    elif world > 1 and rank > 0:
         print(f"[tulip_tpu] torchrun rank {rank}/{world}: single-controller "
               "JAX drives all chips from rank 0; this rank exits.")
         raise SystemExit(0)
-    if int(os.environ.get("TULIP_TPU_MULTIHOST", "0")):
-        jax.distributed.initialize()
-        args.distributed = True
     from ..utils.logger import setup_for_distributed
     setup_for_distributed(dist.is_main_process())
 
