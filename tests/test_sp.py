@@ -14,7 +14,7 @@ from tulip_tpu.config import model_config
 from tulip_tpu.models.tulip import apply_model, build_model, init_params
 from tulip_tpu.parallel.mesh import make_mesh
 from tulip_tpu.parallel.sp import (build_sp_statics, make_sp_forward,
-                                   make_sp_train_step)
+                                   make_sp_train_step, max_sp_degree)
 
 IMG, TARGET = (32, 1024), (128, 1024)
 
@@ -93,6 +93,36 @@ def test_sp_grads_match_unsharded(setup):
         np.testing.assert_allclose(
             np.asarray(g_sp[k]), np.asarray(g_rf[k]),
             rtol=1e-3, atol=1e-5, err_msg=k)
+
+
+def test_max_sp_degree(setup):
+    """KITTI geometry (1024 wide, patch W=4, window W=8): the deepest stage
+    has 32 token columns -> 32 // (2*8) = 2 is the ceiling."""
+    model, *_ = setup
+    assert max_sp_degree(model) == 2
+    # the ceiling must actually build
+    build_sp_statics(model, max_sp_degree(model))
+
+
+def test_sp_eval_engine_forward(setup):
+    """The eval engine's sp_forward override (mode='eval') produces the same
+    gated/de-logged prediction + MAE as the plain jitted eval forward."""
+    model, params, low, high = setup
+    from tulip_tpu.eval.engine import _GATES, _make_eval_forward
+
+    mesh = make_mesh((1, 2), axis_names=("data", "seq"))
+    sp_fwd = make_sp_forward(model, mesh, mode="eval",
+                             compute_dtype=jnp.float32)
+    fwd_sp = _make_eval_forward(model, "kitti", True, _GATES, jnp.float32,
+                                sp_forward=sp_fwd)
+    fwd_ref = _make_eval_forward(model, "kitti", True, _GATES, jnp.float32)
+
+    lo, hi = low[:1], high[:1]
+    out_sp = fwd_sp(params, lo, hi)
+    out_ref = fwd_ref(params, lo, hi)
+    for a, b in zip(out_sp, out_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_sp_train_step_runs(setup):

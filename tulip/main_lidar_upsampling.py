@@ -86,6 +86,19 @@ def main(args):
 
     eval_dtype = jnp.float32 if args.eval_precision == 'fp32' else jnp.bfloat16
 
+    # --sp_degree: W-axis sequence parallelism.  Clamp to the model
+    # geometry's ceiling (every stage needs >= 2 window columns per shard)
+    # instead of failing deep inside shard_map tracing.
+    sp = getattr(args, 'sp_degree', 1) or 1
+    if sp > 1:
+        from tulip_tpu.parallel.sp import max_sp_degree
+        cap = max_sp_degree(model)
+        if sp > cap:
+            print(f"[tulip_tpu] --sp_degree {sp} exceeds this model "
+                  f"geometry's ceiling (every stage needs >= 2 window "
+                  f"columns per W shard); clamping to {cap}")
+            sp = cap
+
     if args.eval and os.path.exists(args.output_dir):
         print("Loading Checkpoint and directly start the evaluation")
         if args.output_dir.endswith("pth"):
@@ -96,13 +109,26 @@ def main(args):
         params, _, _ = ckpt_util.load_model(args, params, None)
 
         print("Start Evaluation")
+        sp_fwd_eval = sp_fwd_mc = None
+        if sp > 1:
+            # eval is batch-1: the whole mesh goes to the seq axis
+            from tulip_tpu.parallel.sp import make_sp_forward
+            assert n_devices % sp == 0, (
+                f"--sp_degree {sp} does not divide {n_devices} devices")
+            mesh = make_mesh((1, sp), axis_names=("data", "seq"))
+            if args.mc_drop:
+                sp_fwd_mc = make_sp_forward(model, mesh, mode="mc",
+                                            compute_dtype=eval_dtype)
+            else:
+                sp_fwd_eval = make_sp_forward(model, mesh, mode="eval",
+                                              compute_dtype=eval_dtype)
         if args.mc_drop:
             print("Evaluation with Monte Carlo Dropout")
             MCdrop(data_loader_val, params, model, log_writer, args=args,
-                   compute_dtype=eval_dtype)
+                   compute_dtype=eval_dtype, sp_forward=sp_fwd_mc)
         else:
             evaluate(data_loader_val, params, model, log_writer, args=args,
-                     compute_dtype=eval_dtype)
+                     compute_dtype=eval_dtype, sp_forward=sp_fwd_eval)
         print("Evaluation finished")
         sys.exit(0)
     else:
@@ -119,7 +145,6 @@ def main(args):
     tx = make_optimizer(args.weight_decay, args.accum_iter)
     state = init_train_state(params, tx)
     compute_dtype = jnp.bfloat16 if args.precision == 'bf16' else jnp.float32
-    sp = getattr(args, 'sp_degree', 1) or 1
     if sp > 1:
         # dp x sp mesh: batch over 'data', range-image W over 'seq' with
         # ppermute halo exchange (tulip_tpu/parallel/sp.py)

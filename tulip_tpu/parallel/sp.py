@@ -115,15 +115,38 @@ def _select_model(model: TulipModel, sp: SpStatics, seq_axis: str) -> TulipModel
     return TulipModel(cfg=model.cfg, enc_blocks=enc, dec_blocks=dec)
 
 
+def max_sp_degree(model: TulipModel) -> int:
+    """Largest supported --sp_degree for this model geometry: every stage's
+    local W shard must keep >= 2 window columns (the body/last mask scheme
+    and the single-ring halo exchange assume a W-interior region per shard),
+    and the token-grid W must divide evenly."""
+    best = 1
+    cfg = model.cfg
+    for stage in tuple(cfg.encoder_stages) + tuple(cfg.decoder_stages):
+        H, W = stage.grid
+        ww = stage.window[1]
+        cap = max(1, W // (2 * ww))
+        while cap > 1 and W % cap:
+            cap -= 1
+        best = cap if best == 1 else min(best, cap)
+    return best
+
+
 def make_sp_forward(model: TulipModel, mesh: Mesh, *, data_axis: str = "data",
-                    seq_axis: str = "seq", compute_dtype=jnp.bfloat16):
+                    seq_axis: str = "seq", compute_dtype=jnp.bfloat16,
+                    mode: str = "train"):
     """Build the W-sharded forward:  (params, x_nchw) -> pred_nchw.
 
     params replicated; x/pred sharded P(data, None, None, seq) in NCHW.
     Call inside jit (composes with autodiff: ppermute transposes to ppermute,
     replicated-param cotangents are psummed by shard_map's transpose).
+
+    ``mode`` matches models.tulip.apply_model: 'train' (dropout + drop-path),
+    'mc' (dropout only — MC-dropout eval), 'eval' (deterministic).
     """
     sp = build_sp_statics(model, mesh.shape[seq_axis])
+    dropout_active = mode in ("train", "mc")
+    droppath_active = mode == "train"
 
     def fwd_local(params, x, rng, *, use_rng: bool):
         with halo.sequence_axis(seq_axis):
@@ -132,11 +155,16 @@ def make_sp_forward(model: TulipModel, mesh: Mesh, *, data_axis: str = "data",
                 # independent draws across data shards, consistent across seq
                 # (drop-path must drop the same samples in every W shard)
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+                if not droppath_active:
+                    # MC mode has no drop-path, so dropout draws can (and
+                    # should) be independent across W shards too
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index(seq_axis))
             else:
                 rng = None
             return forward_features(params, model_l, x, rng=rng,
-                                    dropout_active=use_rng,
-                                    droppath_active=use_rng)
+                                    dropout_active=use_rng and dropout_active,
+                                    droppath_active=use_rng and droppath_active)
 
     def run(params, x_nchw, rng=None):
         use_rng = rng is not None
