@@ -1,0 +1,124 @@
+"""On-TPU Pallas smoke check: pin the COMPILED (non-interpret) kernels
+against their XLA twins on the real backend.
+
+CI runs the kernels in interpret mode on CPU (tests/conftest.py), which pins
+their numerics but never their Mosaic lowering; real-TPU mis-lowering has
+bitten before (see the workarounds in ops/pallas/chamfer.py).  This script
+closes that gap: run it whenever a chip is attached (bench runs, TPU-VM CI).
+tests/test_tpu_smoke.py invokes it in a subprocess outside the forced-CPU
+test env and skips cleanly when no TPU is present (exit code 2).
+
+Checks (all vs XLA twins, on the real backend, bf16 like production):
+  1. inference forward: attn_impl='pallas' (fused window_msa + ln_mlp + head
+     kernels) vs 'grouped' vs 'xla' whole-model forwards
+  2. training: loss + grads through the attn_core custom VJP vs grouped XLA
+  3. chamfer: Pallas tiled NN sweep vs lax.scan impl
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        print("SMOKE_SKIP: no TPU backend (default_backend=cpu)")
+        return 2
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    from tulip_tpu.config import model_config
+    from tulip_tpu.models.tulip import apply_model, build_model, init_params
+
+    IMG, TGT = (32, 512), (128, 512)   # full 4-stage geometry, fast compile
+    rng = np.random.default_rng(0)
+    low = jnp.asarray(np.log1p(rng.uniform(0, 1, (4, 1, *IMG))
+                               ).astype(np.float32))
+    high = jnp.asarray(np.log1p(rng.uniform(0, 1, (4, 1, *TGT))
+                                ).astype(np.float32))
+
+    def cfg_for(impl):
+        return model_config("tulip_base", img_size=IMG, target_img_size=TGT,
+                            patch_size=(1, 4), window_size=(2, 8),
+                            pixel_shuffle=True, circular_padding=True,
+                            log_transform=True, patch_unmerging=True,
+                            attn_impl=impl)
+
+    models = {impl: build_model(cfg_for(impl))
+              for impl in ("xla", "grouped", "pallas")}
+    params = init_params(jax.random.PRNGKey(0), cfg_for("xla"))
+
+    # --- 1. inference forward, bf16 (production eval path) ----------------
+    preds = {}
+    for impl, model in models.items():
+        fwd = jax.jit(lambda p, x, m=model: apply_model(
+            p, m, x, None, mode="eval", mc_drop=True,
+            compute_dtype=jnp.bfloat16))
+        preds[impl] = np.asarray(fwd(params, low), dtype=np.float32)
+    scale = float(np.abs(preds["xla"]).max())
+    for impl in ("grouped", "pallas"):
+        diff = float(np.abs(preds[impl] - preds["xla"]).max())
+        # bf16 forward reassociation noise; pallas fuses LN+MSA+MLP in VMEM
+        assert diff < 0.02 * max(scale, 1.0), (impl, diff, scale)
+        print(f"SMOKE_OK forward[{impl} vs xla]: max|d|={diff:.3e} "
+              f"(scale {scale:.3f})")
+
+    # --- 2. training path: attn_core custom VJP vs grouped XLA ------------
+    losses, grads = {}, {}
+    for impl in ("grouped", "pallas"):
+        model = models[impl]
+
+        def loss_fn(p, lo, hi, m=model):
+            pred, total, _ = apply_model(p, m, lo, hi, mode="train",
+                                         rng=jax.random.PRNGKey(7),
+                                         compute_dtype=jnp.bfloat16)
+            return total
+
+        val, grad = jax.jit(jax.value_and_grad(loss_fn))(params, low, high)
+        losses[impl] = float(val)
+        grads[impl] = grad
+    ld = abs(losses["pallas"] - losses["grouped"]) / max(
+        abs(losses["grouped"]), 1e-6)
+    assert ld < 0.01, (losses, ld)
+    print(f"SMOKE_OK train loss[pallas vs grouped]: rel d={ld:.3e}")
+    worst = (None, 0.0)
+    for k in grads["grouped"]:
+        a = np.asarray(grads["grouped"][k], np.float32)
+        b = np.asarray(grads["pallas"][k], np.float32)
+        s = float(np.abs(a).max()) + 1e-8
+        d = float(np.abs(a - b).max()) / s
+        if d > worst[1]:
+            worst = (k, d)
+    # bf16 backward with recomputed probabilities: a few % relative on the
+    # smallest-magnitude grads is expected; catching mis-lowering means
+    # catching O(1) garbage, not ulps
+    assert worst[1] < 0.10, worst
+    print(f"SMOKE_OK train grads[pallas vs grouped]: worst rel "
+          f"max|d|={worst[1]:.3e} ({worst[0]})")
+
+    # --- 3. chamfer: Pallas tiled sweep vs lax.scan twin ------------------
+    from tulip_tpu.ops.chamfer import min_sq_dists_xla
+    from tulip_tpu.ops.pallas.chamfer import min_sq_dists_pallas
+    a = jnp.asarray(rng.uniform(-40, 40, (8192, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-40, 40, (9000, 3)).astype(np.float32))
+    bp = jnp.concatenate(
+        [b, jnp.full((4096 * 3 - 9000, 3), 1e8, jnp.float32)], axis=0)
+    d_ref = np.asarray(jax.jit(
+        lambda x, y: min_sq_dists_xla(x, y, chunk=4096))(a, bp))
+    d_pl = np.asarray(jax.jit(
+        lambda x, y: min_sq_dists_pallas(x, y, chunk=4096))(a, bp))
+    dd = float(np.abs(d_pl - d_ref).max())
+    assert dd < 1e-3, dd   # fp32 expansion-form ulp bound at |x|~40 m
+    print(f"SMOKE_OK chamfer[pallas vs xla]: max|d|={dd:.3e} m^2")
+
+    print("SMOKE_PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
