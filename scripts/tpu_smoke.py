@@ -90,13 +90,15 @@ def main() -> int:
     for k in grads["grouped"]:
         a = np.asarray(grads["grouped"][k], np.float32)
         b = np.asarray(grads["pallas"][k], np.float32)
-        s = float(np.abs(a).max()) + 1e-8
+        # absolute floor 1e-5: relative-position-bias-table grads are
+        # cancellation-dominated near-zero sums at init (max|g| ~ 1e-7 —
+        # softmax-backward rows sum to zero), where bf16 reassociation
+        # noise swamps any relative metric.  Mis-lowering means O(1)
+        # garbage, which the floored metric still catches.
+        s = max(float(np.abs(a).max()), 1e-5)
         d = float(np.abs(a - b).max()) / s
         if d > worst[1]:
             worst = (k, d)
-    # bf16 backward with recomputed probabilities: a few % relative on the
-    # smallest-magnitude grads is expected; catching mis-lowering means
-    # catching O(1) garbage, not ulps
     assert worst[1] < 0.10, worst
     print(f"SMOKE_OK train grads[pallas vs grouped]: worst rel "
           f"max|d|={worst[1]:.3e} ({worst[0]})")

@@ -76,9 +76,12 @@ def main():
         state = init_train_state(pc, tx)
         step = make_train_step(model, tx, compute_dtype=jnp.bfloat16,
                                donate=False)
+        # return the FULL (state, losses) tuple: dropping the state lets XLA
+        # dead-code the whole backward+optimizer (fixed — earlier numbers
+        # measured forward-only here)
         dt = serialize_time(
             lambda s, lo, hi: step(s, lo, hi, np.float32(1e-4),
-                                   jax.random.PRNGKey(1))[1],
+                                   jax.random.PRNGKey(1)),
             (state, low, high), iters=args.iters)
         print(f"full train step        {dt*1000:8.2f} ms  "
               f"({B/dt:7.1f} img/s)")

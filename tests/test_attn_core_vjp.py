@@ -206,6 +206,62 @@ def test_block_train_grads_pallas_vs_grouped():
                 rtol=2e-4, atol=2e-4, err_msg=f"block {block_idx}: {key}")
 
 
+def test_block_rng_stream_alignment_across_impls():
+    """Every attn_impl must consume the SAME number of rng splits per block:
+    the fused-MLP branch burns the split the XLA branch hands to mlp(), so
+    stochastic-depth masks are identical across impls.  Regression test for
+    a phantom "gradient bug" where pallas-vs-grouped training grads differed
+    ~35% purely because downstream drop-path draws diverged."""
+    cfg = model_config("tulip_base", img_size=(8, 128),
+                       target_img_size=(32, 128), patch_size=(1, 4),
+                       window_size=(2, 8))
+    stage = cfg.encoder_stages[0]
+    rng = np.random.default_rng(11)
+    C, nh = stage.dim, stage.num_heads
+    table_len = (2 * cfg.window_size[0] - 1) * (2 * cfg.window_size[1] - 1)
+    prefix = "blk"
+    params = {
+        f"{prefix}.norm1.weight": jnp.ones((C,), jnp.float32),
+        f"{prefix}.norm1.bias": jnp.zeros((C,), jnp.float32),
+        f"{prefix}.norm2.weight": jnp.ones((C,), jnp.float32),
+        f"{prefix}.norm2.bias": jnp.zeros((C,), jnp.float32),
+        f"{prefix}.attn.qkv.weight": jnp.asarray(rng.standard_normal((C, 3 * C)).astype(np.float32) * 0.05),
+        f"{prefix}.attn.qkv.bias": jnp.zeros((3 * C,), jnp.float32),
+        f"{prefix}.attn.proj.weight": jnp.asarray(rng.standard_normal((C, C)).astype(np.float32) * 0.05),
+        f"{prefix}.attn.proj.bias": jnp.zeros((C,), jnp.float32),
+        f"{prefix}.attn.relative_position_bias_table": jnp.asarray(rng.standard_normal((table_len, nh)).astype(np.float32) * 0.1),
+        f"{prefix}.mlp.fc1.weight": jnp.asarray(rng.standard_normal((C, 4 * C)).astype(np.float32) * 0.05),
+        f"{prefix}.mlp.fc1.bias": jnp.zeros((4 * C,), jnp.float32),
+        f"{prefix}.mlp.fc2.weight": jnp.asarray(rng.standard_normal((4 * C, C)).astype(np.float32) * 0.05),
+        f"{prefix}.mlp.fc2.bias": jnp.zeros((C,), jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((8, *stage.grid, C)).astype(np.float32))
+    # a high drop-path rate so mask divergence is unmissable; two chained
+    # blocks so a consumption mismatch in block 1 corrupts block 2's draw
+    st0 = S.make_block_static(stage, 0, cfg.window_size)._replace(
+        drop_path=0.5)
+    st1 = S.make_block_static(stage, 1, cfg.window_size)._replace(
+        drop_path=0.5)
+
+    def run(impl):
+        key = jax.random.PRNGKey(42)
+        k0, k1 = jax.random.split(key)
+        y = S.swin_block_v1(params, prefix, x.astype(jnp.bfloat16), st0,
+                            eps=1e-6, rng=k0, dropout_active=True,
+                            droppath_active=True, attn_impl=impl)
+        y = S.swin_block_v1(params, prefix, y, st1, eps=1e-6, rng=k1,
+                            dropout_active=True, droppath_active=True,
+                            attn_impl=impl)
+        return np.asarray(y, np.float32)
+
+    ref = run("grouped")
+    for impl in ("xla", "pallas"):
+        out = run(impl)
+        scale = np.abs(ref).max() + 1e-8
+        assert np.abs(out - ref).max() / scale < 0.03, (
+            impl, np.abs(out - ref).max(), scale)
+
+
 def test_fused_two_matmul_vjp_grads():
     """fused_two_matmul_vjp (Pallas fwd / recompute bwd) gradients must match
     autodiff of the plain XLA composition, fp32 exact (leaky + gelu paths,

@@ -518,7 +518,14 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
             and not (dropout_active and drop > 0.0)):
         # training MLP half on the fused kernel (custom VJP: Pallas forward,
         # recompute backward — the (N, 4C) hidden never hits HBM in fwd);
-        # residual + drop-path stay outside so stochastic depth composes
+        # residual + drop-path stay outside so stochastic depth composes.
+        # Burn the rng split the XLA branch hands to mlp(): every impl must
+        # consume the SAME number of splits per block, or the drop-path
+        # masks of all downstream blocks diverge between attn_impls and
+        # training becomes impl-dependent (found as a phantom "gradient
+        # bug": pallas-vs-grouped grads differed ~35% on cancellation-
+        # dominated tensors purely from different stochastic-depth draws).
+        next_rng()
         from ..ops.pallas.mlp import fused_two_matmul_vjp
         B, H, W, C = x.shape
         d = x.dtype
