@@ -112,7 +112,7 @@ def _seg_softmax_fwd(logits, gmask_g, GL: int, chunk: int, sm_t):
         s = logits[:, j * GL:(j + 1) * GL] + gmask_g
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        segs.append(e / jnp.sum(e, axis=-1, keepdims=True))
+        segs.append(e * (1.0 / jnp.sum(e, axis=-1, keepdims=True)))
     return jnp.concatenate(segs, axis=1).astype(sm_t)
 
 
@@ -125,7 +125,10 @@ def _fwd_kernel(qkv_ref, biasc_ref, gmask_ref, o_ref,
     for g in range(BWg):
         cols = slice(g * Gww, (g + 1) * Gww)
         qkv = qkv_ref[0][:, cols, :].reshape(GL, 3 * C)
-        q = qkv[:, :C]
+        # fold the softmax scale into q (one (GL, C) multiply) instead of
+        # scaling the (GL, cGL) fp32 logits — same rounding behaviour as the
+        # grouped XLA impl, which also scales q before the dot
+        q = qkv[:, :C] * jnp.asarray(scale, qkv.dtype)
         k = qkv[:, C:2 * C]
         v = qkv[:, 2 * C:]
         gm = gmask_ref[g if mask_per_group else 0].astype(jnp.float32)
@@ -137,7 +140,7 @@ def _fwd_kernel(qkv_ref, biasc_ref, gmask_ref, o_ref,
             logits = jax.lax.dot_general(
                 q, kexp, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (GL, cGL)
-            logits = logits * jnp.asarray(scale, jnp.float32) \
+            logits = logits \
                 + biasc_ref[:, h0 * GL:(h0 + chunk) * GL].astype(jnp.float32)
             pr = _seg_softmax_fwd(logits, gm, GL, chunk, q.dtype)
             o = jax.lax.dot_general(
@@ -157,7 +160,9 @@ def _bwd_kernel(qkv_ref, biasc_ref, gmask_ref, dao_ref,
     for g in range(BWg):
         cols = slice(g * Gww, (g + 1) * Gww)
         qkv = qkv_ref[0][:, cols, :].reshape(GL, 3 * C)
-        q = qkv[:, :C]
+        # scale folded into q (see _fwd_kernel); dq is unscaled until the
+        # single (GL, C) multiply after the chunk loop
+        q = qkv[:, :C] * jnp.asarray(scale, qkv.dtype)
         k = qkv[:, C:2 * C]
         v = qkv[:, 2 * C:]
         dao = dao_ref[0][:, cols, :].reshape(GL, C)
@@ -171,7 +176,7 @@ def _bwd_kernel(qkv_ref, biasc_ref, gmask_ref, dao_ref,
             logits = jax.lax.dot_general(
                 q, kexp, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            logits = logits * jnp.asarray(scale, jnp.float32) \
+            logits = logits \
                 + biasc_ref[:, h0 * GL:(h0 + chunk) * GL].astype(jnp.float32)
             # fp32 probs (softmax-backward stability)
             pr32 = _seg_softmax_fwd(logits, gm, GL, chunk, jnp.float32)
@@ -197,9 +202,10 @@ def _bwd_kernel(qkv_ref, biasc_ref, gmask_ref, dao_ref,
             # bf16 cast before the dq/dk dots: measured bit-identical on v5e
             # to feeding fp32 ds (Mosaic rounds fp32 dot operands to bf16 at
             # default precision anyway) and halves the operand VMEM
-            ds16 = (ds * jnp.asarray(scale, jnp.float32)).astype(qkv.dtype)
+            ds16 = ds.astype(qkv.dtype)
 
-            # dq = ds @ kexp ; dkexp = ds^T @ q
+            # dq = ds @ kexp (scale applied after the chunk loop);
+            # dkexp = ds^T @ (scale*q)
             dq_c = jax.lax.dot_general(
                 ds16, kexp, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (GL, C)
@@ -222,6 +228,7 @@ def _bwd_kernel(qkv_ref, biasc_ref, gmask_ref, dao_ref,
             dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
             dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
 
+        dq_acc = dq_acc * jnp.asarray(scale, jnp.float32)
         dqkv = jnp.concatenate([dq_acc, dk_acc, dv_acc], axis=1)
         dqkv_ref[0, :, cols, :] = dqkv.astype(dqkv_ref.dtype).reshape(
             wh, Gww, 3 * C)
@@ -335,12 +342,11 @@ def _xla_core(qkv, bias_cat, gmask, nh, scale, nH):
     t = qkv.reshape(R, wh, nWg, Gww, C3).transpose(0, 2, 1, 3, 4)
     t = t.reshape(R, nWg, GL, C3)
     q, k, v = t[..., :C], t[..., C:2 * C], t[..., 2 * C:]
-    q = q.reshape(R, nWg, GL, nh, hd)
+    q = (q * jnp.asarray(scale, q.dtype)).reshape(R, nWg, GL, nh, hd)
     k = k.reshape(R, nWg, GL, nh, hd)
     v = v.reshape(R, nWg, GL, nh, hd)
     logits = jnp.einsum("rgind,rgjnd->rgnij", q, k,
                         preferred_element_type=jnp.float32)
-    logits = logits * jnp.asarray(scale, jnp.float32)
     bias = bias_cat.reshape(GL, nh, GL).transpose(1, 0, 2)   # (nh, GL, GL)
     logits = logits + bias[None, None]
     if gmask.shape[0] == 1:

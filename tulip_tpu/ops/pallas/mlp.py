@@ -17,6 +17,7 @@ GELU uses the tanh approximation in bf16 (see models/layers.gelu).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -105,6 +106,173 @@ def fused_ln_mlp(x2d, lnw, lnb, w1, b1, w2, b2, *, eps: float = 1e-6,
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward (training path): recompute LN/hidden in VMEM, accumulate
+# weight grads across grid steps — the (N, H) hidden never exists in HBM in
+# either pass.  The XLA recompute backward this replaces materializes it
+# several times (recompute write + dW2 read + da read); at DurLAR stage-0
+# scale that is ~600 MB of pure HBM traffic per MLP block and ~2.4 GB for
+# the pixel-shuffle head (traced at 1.1-2.4 ms per GEMM on v5e, all
+# HBM-bound).
+# ---------------------------------------------------------------------------
+
+
+def _act_and_grad(h32, act, dtype):
+    """activation(h) and act'(h) — both computed from the same cast the
+    forward applies (bf16 tanh-GELU on the bf16 path, exact erf on fp32)."""
+    h = h32.astype(dtype)
+    if act == "gelu":
+        if dtype == jnp.bfloat16:
+            # tanh approximation, matching jax.nn.gelu(approximate=True)
+            c = 0.7978845608028654   # sqrt(2/pi)
+            hf = h.astype(jnp.float32)
+            u = c * (hf + 0.044715 * hf * hf * hf)
+            t = jnp.tanh(u)
+            a = (0.5 * hf * (1.0 + t)).astype(dtype)
+            da = 0.5 * (1.0 + t) + 0.5 * hf * (1.0 - t * t) * c * (
+                1.0 + 3 * 0.044715 * hf * hf)
+            return a, da
+        hf = h.astype(jnp.float32)
+        cdf = 0.5 * (1.0 + jax.lax.erf(hf / jnp.sqrt(2.0).astype(jnp.float32)))
+        pdf = jnp.exp(-0.5 * hf * hf) * (1.0 / jnp.sqrt(2.0 * jnp.pi)).astype(jnp.float32)
+        return (hf * cdf).astype(dtype), cdf + hf * pdf
+    if act == "leaky":
+        a = jnp.maximum(h, 0) + 0.01 * jnp.minimum(h, 0)
+        hf = h.astype(jnp.float32)
+        return a, jnp.where(hf > 0, 1.0, 0.01)
+    raise ValueError(act)
+
+
+def _bwd_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                dx_ref, dlnw_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+                db2_ref,
+                *, eps: float, act: str, fuse_ln: bool, residual: bool):
+    x = x_ref[:]                                           # (T, C) bf16/fp32
+    d = x.dtype
+    g = g_ref[:]                                           # (T, O)
+
+    # ---- recompute forward up to the hidden ----
+    if fuse_ln:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xh = (x32 - mean) * rstd                           # (T, C) fp32
+        y = (xh * lnw_ref[0].astype(jnp.float32)
+             + lnb_ref[0].astype(jnp.float32)).astype(d)
+    else:
+        y = x
+    h32 = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    h32 = h32 + b1_ref[0].astype(jnp.float32)
+    a, dact = _act_and_grad(h32, act, d)                   # (T, H)
+
+    # ---- backward ----
+    da = jax.lax.dot_general(g, w2_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (T, H)
+    dw2 = jax.lax.dot_general(a, g, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (H, O)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+
+    dh = (da * dact).astype(d)                             # (T, H)
+    dy = jax.lax.dot_general(dh, w1_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (T, C)
+    dw1 = jax.lax.dot_general(y, dh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (C, H)
+    db1 = jnp.sum(da * dact, axis=0, keepdims=True)
+
+    if fuse_ln:
+        dlnw = jnp.sum(dy * xh, axis=0, keepdims=True)
+        dlnb = jnp.sum(dy, axis=0, keepdims=True)
+        dxh = dy * lnw_ref[0].astype(jnp.float32)
+        C = x.shape[1]
+        m1 = jnp.sum(dxh, axis=-1, keepdims=True) / C
+        m2 = jnp.sum(dxh * xh, axis=-1, keepdims=True) / C
+        dx = rstd * (dxh - m1 - xh * m2)
+    else:
+        dlnw = jnp.zeros(dlnw_ref.shape, jnp.float32)
+        dlnb = jnp.zeros(dlnb_ref.shape, jnp.float32)
+        dx = dy
+    if residual:
+        dx = dx + g.astype(jnp.float32)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dlnw_ref[:] = dlnw
+        dlnb_ref[:] = dlnb
+        dw1_ref[:] = dw1
+        db1_ref[:] = db1
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+
+    @pl.when(pl.program_id(0) > 0)
+    def _():
+        dlnw_ref[:] = dlnw_ref[:] + dlnw
+        dlnb_ref[:] = dlnb_ref[:] + dlnb
+        dw1_ref[:] = dw1_ref[:] + dw1
+        db1_ref[:] = db1_ref[:] + db1
+        dw2_ref[:] = dw2_ref[:] + dw2
+        db2_ref[:] = db2_ref[:] + db2
+
+
+def _bwd_vmem_ok(C: int, H: int, O: int, T: int, itemsize: int) -> bool:
+    """Conservative per-step VMEM estimate for the backward kernel."""
+    weights = (C * H + H * O) * itemsize + (C * H + H * O) * 4   # w + dw
+    tiles = T * H * (4 + 4 + itemsize + 4)   # h32, da, dh(+act copies)
+    tiles += T * C * (4 * 4 + 2 * itemsize)  # x32/xh/dy/dx + x/y
+    tiles += T * O * (itemsize + 4)
+    return weights + tiles < 11 * 1024 * 1024
+
+
+def _pallas_two_matmul_bwd(x2d, lnw, lnb, w1, b1, w2, b2, g, *, eps, act,
+                           fuse_ln, residual, interpret):
+    N, C = x2d.shape
+    H = w1.shape[1]
+    O = w2.shape[1]
+    # token tile: bound the fp32 hidden tiles; same power-of-two walk as fwd
+    budget = max(128, (1 << 21) // (H * 4))
+    T = 1 << (budget.bit_length() - 1)
+    T = min(T, 2048, N)
+    while N % T:
+        T //= 2
+    T = max(T, 1)
+    while T > 128 and not _bwd_vmem_ok(C, H, O, T, x2d.dtype.itemsize):
+        T //= 2
+
+    kernel = functools.partial(_bwd_kernel, eps=eps, act=act,
+                               fuse_ln=fuse_ln, residual=residual)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    dx, dlnw, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
+        kernel,
+        grid=(N // T,),
+        in_specs=[
+            pl.BlockSpec((T, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((1, C)), full((1, C)), full((C, H)), full((1, H)),
+            full((H, O)),
+            pl.BlockSpec((T, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((1, C)), full((1, C)), full((C, H)), full((1, H)),
+            full((H, O)), full((1, O)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, C), x2d.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, O), jnp.float32),
+            jax.ShapeDtypeStruct((1, O), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2d, lnw, lnb, w1, b1, w2, g)
+    return (dx, dlnw.astype(lnw.dtype), dlnb.astype(lnb.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
+# ---------------------------------------------------------------------------
 # Differentiable wrapper (training path)
 # ---------------------------------------------------------------------------
 
@@ -152,6 +320,15 @@ def _ftm_fwd(x2d, lnw, lnb, w1, b1, w2, b2, eps, act, fuse_ln, residual):
 
 def _ftm_bwd(eps, act, fuse_ln, residual, res, g):
     x2d, lnw, lnb, w1, b1, w2, b2 = res
+    C, H, O = x2d.shape[1], w1.shape[1], w2.shape[1]
+    use_pallas = (os.environ.get("TULIP_TPU_MLP_XLA_BWD") != "1"
+                  and _bwd_vmem_ok(C, H, O, 128, x2d.dtype.itemsize))
+    if use_pallas:
+        interpret = jax.default_backend() == "cpu"
+        dx, dlnw, dlnb, dw1, db1, dw2, db2 = _pallas_two_matmul_bwd(
+            x2d, lnw, lnb, w1, b1, w2, b2, g.astype(x2d.dtype), eps=eps,
+            act=act, fuse_ln=fuse_ln, residual=residual, interpret=interpret)
+        return dx, dlnw, dlnb, dw1, db1, dw2, db2
     fn = functools.partial(_xla_two_matmul, eps=eps, act=act,
                            fuse_ln=fuse_ln, residual=residual)
     _, vjp = jax.vjp(fn, x2d, lnw, lnb, w1, b1, w2, b2)
