@@ -42,6 +42,26 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    # Fail fast (rc=3) instead of hanging forever when the TPU tunnel is
+    # down: importing jax here initializes the axon PJRT plugin, whose
+    # device init blocks indefinitely if the tunnel is unreachable.  Probe
+    # it in a killable subprocess first.
+    if os.environ.get("TULIP_TPU_SKIP_PROBE") != "1":
+        import subprocess
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                env={**os.environ, "TULIP_TPU_SKIP_PROBE": "1"},
+                capture_output=True, text=True, timeout=900)
+            rc, err = probe.returncode, probe.stderr
+        except subprocess.TimeoutExpired:
+            rc, err = -1, "device init did not finish within 900 s"
+        if rc != 0:
+            print(err[-2000:], file=sys.stderr)
+            print("FATAL: backend init failed; not benchmarking",
+                  file=sys.stderr)
+            sys.exit(3)
+
     import jax
     import jax.numpy as jnp
 

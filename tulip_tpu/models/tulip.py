@@ -14,6 +14,7 @@ first patch expanding -> 3 decoder stages with linear-fused skips ->
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -346,22 +347,27 @@ def _ps_head_pred_fused(p: Params, x: jnp.ndarray, cfg: ModelConfig,
 def _run_blocks(p: Params, prefix: str, x: jnp.ndarray, blocks, cfg: ModelConfig,
                 rng, dropout_active, droppath_active):
     block_fn = swin_block_v2 if cfg.swin_v2 else swin_block_v1
+    # TULIP_TPU_REMAT_BLOCKS=1: jax.checkpoint each block — the backward
+    # recomputes LN/qkv/attention instead of reading their saved residuals
+    # from HBM (one extra block-forward of FLOPs for ~300 MB less traffic
+    # per stage-0 block).  Perf experiment flag; default off.
+    remat = os.environ.get("TULIP_TPU_REMAT_BLOCKS") == "1" and droppath_active
     for j, st in enumerate(blocks):
         sub = None
         if rng is not None:
             rng, sub = jax.random.split(rng)
         if cfg.swin_v2:
-            x = block_fn(p, f"{prefix}.blocks.{j}", x, st,
-                         eps=cfg.layer_norm_eps, rng=sub,
-                         dropout_active=dropout_active,
-                         droppath_active=droppath_active)
+            fn = lambda pp, xx, ss: block_fn(
+                pp, f"{prefix}.blocks.{j}", xx, st, eps=cfg.layer_norm_eps,
+                rng=ss, dropout_active=dropout_active,
+                droppath_active=droppath_active)
         else:
-            x = block_fn(p, f"{prefix}.blocks.{j}", x, st,
-                         eps=cfg.layer_norm_eps, drop=cfg.drop_rate,
-                         attn_drop=cfg.attn_drop_rate, rng=sub,
-                         dropout_active=dropout_active,
-                         droppath_active=droppath_active,
-                         attn_impl=cfg.attn_impl)
+            fn = lambda pp, xx, ss: block_fn(
+                pp, f"{prefix}.blocks.{j}", xx, st, eps=cfg.layer_norm_eps,
+                drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate, rng=ss,
+                dropout_active=dropout_active,
+                droppath_active=droppath_active, attn_impl=cfg.attn_impl)
+        x = (jax.checkpoint(fn) if remat else fn)(p, x, sub)
     return x
 
 

@@ -106,13 +106,23 @@ def _expand(x, chunk: int, mask):
 
 def _seg_softmax_fwd(logits, gmask_g, GL: int, chunk: int, sm_t):
     """Segmented softmax over each GL-lane head segment of (GL, chunk*GL)
-    fp32 logits (+ per-group additive mask)."""
+    fp32 logits (+ per-group additive mask).
+
+    VPU-pass economy: the mask add / row max / exp run FULL-WIDTH (one pass
+    over (GL, cGL) instead of per-segment passes) — a row max taken across
+    all segments is still a constant within each segment, so the softmax
+    value is unchanged (exp has ~88 units of fp32 range; head segments of
+    the same row differ by at most the bias/logit spread, and every row has
+    its unmasked self-window entries, so no segment can underflow to an
+    all-zero row).  Only the normalization sums stay per-segment."""
+    gm = (jnp.concatenate([gmask_g] * chunk, axis=1) if chunk > 1
+          else gmask_g)
+    s = logits + gm
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
     segs = []
     for j in range(chunk):
-        s = logits[:, j * GL:(j + 1) * GL] + gmask_g
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        segs.append(e * (1.0 / jnp.sum(e, axis=-1, keepdims=True)))
+        seg = e[:, j * GL:(j + 1) * GL]
+        segs.append(seg * (1.0 / jnp.sum(seg, axis=-1, keepdims=True)))
     return jnp.concatenate(segs, axis=1).astype(sm_t)
 
 
@@ -190,13 +200,14 @@ def _bwd_kernel(qkv_ref, biasc_ref, gmask_ref, dao_ref,
                 pr, dao, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (cGL, C)
 
-            # segmented softmax backward
+            # segmented softmax backward: ds = p*(d - rowsum(d*p)); the
+            # product runs full-width, only the row sums are per-segment
+            t = pr32 * dpr                                 # (GL, cGL) fp32
             ds_segs = []
             for j in range(chunk):
-                p = pr32[:, j * GL:(j + 1) * GL]
-                d = dpr[:, j * GL:(j + 1) * GL]
-                ds_segs.append(p * (d - jnp.sum(d * p, axis=-1,
-                                                keepdims=True)))
+                seg = slice(j * GL, (j + 1) * GL)
+                rs = jnp.sum(t[:, seg], axis=-1, keepdims=True)
+                ds_segs.append(t[:, seg] - pr32[:, seg] * rs)
             ds = jnp.concatenate(ds_segs, axis=1)          # (GL, cGL) fp32
             dbias_parts.append(ds)
             # bf16 cast before the dq/dk dots: measured bit-identical on v5e
