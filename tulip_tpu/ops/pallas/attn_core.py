@@ -258,7 +258,9 @@ def _bwd_kernel(qkv_ref, biasc_ref, gmask_ref, dao_ref,
 
 def _groups_per_step(nWg: int, GL: int, C: int, nh: int, bwd: bool) -> int:
     chunk = _head_chunks(nh)[0][1]
-    per_group = (chunk * GL * GL * 4 * (4 if not bwd else 7)  # seg buffers
+    # seg-buffer counts include the full-width gm tile / exp / product
+    # buffers of the restructured softmax (see _seg_softmax_fwd)
+    per_group = (chunk * GL * GL * 4 * (5 if not bwd else 8)  # seg buffers
                  + 2 * chunk * GL * C * 2                     # kexp/vexp
                  + (4 if not bwd else 8) * GL * C * 4)        # io + grads
     budget = 11 * 1024 * 1024

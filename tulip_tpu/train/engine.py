@@ -45,6 +45,13 @@ def train_one_epoch(train_step, state, data_loader, epoch: int, *,
     lr = 0.0
     from ..parallel.mesh import shard_batch
 
+    # Per-step PRNG keys, one device round-trip per EPOCH: fold_in per
+    # iteration would cost a separate dispatch each step (~5 ms through the
+    # axon tunnel); precompute the whole epoch's keys in one vmapped call
+    # and hand the step numpy keys (8-byte host arrays).
+    step_keys = np.asarray(jax.vmap(
+        lambda i: jax.random.fold_in(epoch_rng, i))(np.arange(num_steps)))
+
     # Losses are read back one step late: jax dispatch is async, so reading
     # the PREVIOUS step's scalars overlaps host work with device compute
     # instead of stalling the pipeline every iteration (the reference
@@ -88,7 +95,7 @@ def train_one_epoch(train_step, state, data_loader, epoch: int, *,
         if mesh is not None:
             batch = shard_batch(mesh, batch)
 
-        step_rng = jax.random.fold_in(epoch_rng, data_iter_step)
+        step_rng = step_keys[data_iter_step]
         state, (total_loss, pixel_loss) = train_step(
             state, batch["low"], batch["high"],
             np.float32(lr), step_rng)
