@@ -95,18 +95,23 @@ def _kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "scale_inv_sqrt_hd",
-                                             "interpret", "eps"))
+                                             "interpret", "eps", "residual"))
 def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
                      gmask, *, nh: int, scale_inv_sqrt_hd: float,
-                     interpret: bool = False, eps: float = 0.0):
+                     interpret: bool = False, eps: float = 0.0,
+                     residual: bool = None):
     """xg: (B, nG, GL, C) grouped-window tokens (bf16 or fp32).
     bias_big: (nh, GL, GL) fp32 relative-position bias (block-diag expanded).
     gmask: (nG, GL, GL) or (1, GL, GL) fp32 additive mask (cross-window -1e9
     and, for shifted blocks, the boundary shift mask).
 
     When ``lnw`` is not None the kernel also fuses the pre-attention
-    LayerNorm and the residual add (out = x + proj(attn(LN(x)))) — the whole
-    first half of a Swin block in one VMEM-resident pass."""
+    LayerNorm and (by default) the residual add (out = x + proj(attn(LN(x))))
+    — the whole first half of a Swin block in one VMEM-resident pass.
+    ``residual`` overrides the in-kernel residual add independently of the
+    LN fusion: the training path (swin.py:window_attention_fused_train)
+    fuses the LN but keeps the residual outside so stochastic depth
+    composes."""
     B, nG, GL, C = xg.shape
     mask_per_group = gmask.shape[0] != 1
     interpret = interpret or jax.default_backend() == "cpu"
@@ -131,9 +136,10 @@ def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
     if not fuse_ln:
         lnw = jnp.zeros((1, C), xg.dtype)
         lnb = jnp.zeros((1, C), xg.dtype)
-    kernel = functools.partial(_kernel, nh=nh, scale=scale_inv_sqrt_hd,
-                               mask_per_group=mask_per_group,
-                               fuse_ln=fuse_ln, residual=fuse_ln, eps=eps)
+    kernel = functools.partial(
+        _kernel, nh=nh, scale=scale_inv_sqrt_hd,
+        mask_per_group=mask_per_group, fuse_ln=fuse_ln,
+        residual=fuse_ln if residual is None else residual, eps=eps)
     if mask_per_group:
         gmask_spec = pl.BlockSpec((BG, GL, GL), lambda i, j: (j, 0, 0),
                                   memory_space=pltpu.VMEM)
