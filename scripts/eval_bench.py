@@ -1,0 +1,124 @@
+"""End-to-end eval / MC-dropout sweep throughput (VERDICT item 5 numbers).
+
+Drives the real evaluation engines (tulip_tpu/eval/engine.py: evaluate and
+MCdrop — reference loop shape tulip/engine_upsampling.py:126-356, 361-608)
+over an in-memory synthetic dataset at the graded configs:
+
+  - DurLAR 32x2048 -> 128x2048 (BASELINE.json config #5 sweep shape)
+  - KITTI 16x1024 -> 64x1024 (config #4, tulip_large optional)
+
+Measures the full per-sample path: jitted forward (+ MC chunks), de-log +
+gating on device, host sensor-model projection, dynamic-extent voxelization,
+and the Pallas chamfer sweep — i.e. what a user's evaluation run actually
+costs, not just the forward.  Prints one JSON line per config.
+
+Usage: python scripts/eval_bench.py [--samples 32] [--mc-iters 50]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from types import SimpleNamespace
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+class _NullWriter:
+    """Minimal log_writer: engines only accumulate metrics when a writer is
+    present (reference parity, engine_upsampling.py:174), so the bench needs
+    one — but TB file IO is not part of the measured path."""
+
+    def add_image(self, *a, **k):
+        pass
+
+    def add_scalar(self, *a, **k):
+        pass
+
+
+def _loader(n, low_shape, high_shape, seed=0):
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n):
+        low = rng.uniform(0.05, 0.9, (1, 1, *low_shape)).astype(np.float32)
+        high = rng.uniform(0.05, 0.9, (1, 1, *high_shape)).astype(np.float32)
+        batches.append(({"sample": low}, {"sample": high}))
+    return batches
+
+
+def bench_config(name, dataset, low_shape, high_shape, model_name, samples,
+                 mc_iters, noise_threshold, attn_impl="pallas"):
+    import jax.numpy as jnp
+
+    import jax
+    from tulip_tpu.config import model_config
+    from tulip_tpu.eval.engine import MCdrop, evaluate
+    from tulip_tpu.models.tulip import build_model, init_params
+
+    cfg = model_config(model_name, img_size=low_shape,
+                       target_img_size=high_shape, patch_size=(1, 4),
+                       window_size=(2, 8), pixel_shuffle=True,
+                       circular_padding=True, log_transform=True,
+                       patch_unmerging=True, attn_impl=attn_impl)
+    model = build_model(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    with tempfile.TemporaryDirectory() as out_dir:
+        args = SimpleNamespace(
+            img_size_low_res=low_shape, img_size_high_res=high_shape,
+            dataset_select=dataset, log_transform=True,
+            keep_close_scan=False, grid_size=0.1, save_pcd=False,
+            output_dir=out_dir, noise_threshold=noise_threshold,
+            num_mcdropout_iterations=mc_iters, seed=0)
+        writer = _NullWriter()
+
+        results = {}
+        for mode, fn in (("eval", evaluate), ("mcdrop", MCdrop)):
+            # warmup run (compilation) on 2 samples, then the timed sweep
+            fn(_loader(2, low_shape, high_shape, seed=1), params, model,
+               writer, args=args, compute_dtype=jnp.bfloat16)
+            loader = _loader(samples, low_shape, high_shape)
+            t0 = time.perf_counter()
+            fn(loader, params, model, writer, args=args,
+               compute_dtype=jnp.bfloat16)
+            dt = time.perf_counter() - t0
+            results[mode] = samples / dt
+            print(json.dumps({
+                "config": name, "mode": mode, "model": model_name,
+                "samples": samples, "samples_per_sec": round(samples / dt, 3),
+                "ms_per_sample": round(dt / samples * 1e3, 1),
+                "mc_iters": mc_iters if mode == "mcdrop" else None,
+            }), flush=True)
+        return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=32)
+    ap.add_argument("--mc-iters", type=int, default=50)
+    ap.add_argument("--configs", default="durlar,kitti",
+                    help="comma list: durlar, kitti, kitti_large")
+    ap.add_argument("--attn", default="pallas",
+                    choices=["xla", "grouped", "pallas"])
+    args = ap.parse_args()
+
+    specs = {
+        # (dataset, low, high, model, noise_threshold) — shapes/thresholds
+        # from the reference eval scripts (bash_scripts/tulip_evaluation_*.sh)
+        "durlar": ("durlar", (32, 2048), (128, 2048), "tulip_base", 0.0005),
+        "kitti": ("kitti", (16, 1024), (64, 1024), "tulip_base", 0.03),
+        "kitti_large": ("kitti", (16, 1024), (64, 1024), "tulip_large", 0.03),
+    }
+    for key in args.configs.split(","):
+        dataset, low, high, model_name, thr = specs[key.strip()]
+        bench_config(key.strip(), dataset, low, high, model_name,
+                     args.samples, args.mc_iters, thr, attn_impl=args.attn)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,36 @@ def main() -> int:
     finally:
         del os.environ["TULIP_TPU_FUSED_TRAIN_FWD"]
 
+    # --- 2c. row-expanded attention core (TULIP_TPU_ATTN_ROWEXP=1):
+    # same custom VJP boundary, transposed head packing + plain row softmax
+    # (new Mosaic lowering — the collapse loops / row-slice bias reads) ----
+    os.environ["TULIP_TPU_ATTN_ROWEXP"] = "1"
+    try:
+        def loss_rowexp(p, lo, hi, m=models["pallas"]):
+            pred, total, _ = apply_model(p, m, lo, hi, mode="train",
+                                         rng=jax.random.PRNGKey(7),
+                                         compute_dtype=jnp.bfloat16)
+            return total
+
+        val_r, grad_r = jax.jit(jax.value_and_grad(loss_rowexp))(
+            params, low, high)
+        lr = abs(float(val_r) - losses["grouped"]) / max(
+            abs(losses["grouped"]), 1e-6)
+        assert lr < 0.01, (float(val_r), losses["grouped"], lr)
+        worst_r = (None, 0.0)
+        for k in grads["grouped"]:
+            a = np.asarray(grads["grouped"][k], np.float32)
+            b = np.asarray(grad_r[k], np.float32)
+            s = max(float(np.abs(a).max()), 1e-5)
+            d = float(np.abs(a - b).max()) / s
+            if d > worst_r[1]:
+                worst_r = (k, d)
+        assert worst_r[1] < 0.10, worst_r
+        print(f"SMOKE_OK train rowexp[vs grouped]: loss rel d={lr:.3e}, "
+              f"worst grad rel max|d|={worst_r[1]:.3e} ({worst_r[0]})")
+    finally:
+        del os.environ["TULIP_TPU_ATTN_ROWEXP"]
+
     # --- 3. chamfer: Pallas tiled sweep vs lax.scan twin ------------------
     from tulip_tpu.ops.chamfer import min_sq_dists_xla
     from tulip_tpu.ops.pallas.chamfer import min_sq_dists_pallas

@@ -341,7 +341,8 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
             p, prefix, x, st, attn_drop=attn_drop, proj_drop=proj_drop,
             rng=rng, dropout_active=dropout_active)
 
-    from ..ops.pallas.attn_core import attn_core, natural_token_perm
+    from ..ops.pallas.attn_core import (attn_core, attn_core_rowexp,
+                                        natural_token_perm)
 
     B, H, W, C = x.shape
     wh, ww = st.window
@@ -370,12 +371,16 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
     perm = natural_token_perm(wh, ww, G)
     bias_nat = bias_big[:, jnp.asarray(perm[:, None]),
                         jnp.asarray(perm[None, :])]
-    bias_cat = bias_nat.transpose(1, 0, 2).reshape(GL, nh * GL)
 
     gmask_nat = st.group_mask[:, perm[:, None], perm[None, :]]
     gmask = jnp.asarray(gmask_nat, dtype=jnp.bfloat16)
-    out = attn_core(qkv, bias_cat, gmask,
-                    nh, hd ** -0.5, nH)                    # (R, wh, W, C)
+    if os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1":
+        out = attn_core_rowexp(qkv, bias_nat.reshape(nh * GL, GL), gmask,
+                               nh, hd ** -0.5, nH)         # (R, wh, W, C)
+    else:
+        bias_cat = bias_nat.transpose(1, 0, 2).reshape(GL, nh * GL)
+        out = attn_core(qkv, bias_cat, gmask,
+                        nh, hd ** -0.5, nH)                # (R, wh, W, C)
     out = L.linear(p, f"{prefix}.proj", out)
 
     out = out.reshape(B, H, W, C)
@@ -409,8 +414,10 @@ def _build_fused_half_attn(st: BlockStatic, eps: float, has_qkv_bias: bool):
     (same backward graph); the forward value differs only by grouped-vs-
     natural layout rounding (bf16 ulp scale, pinned in tests).
     """
-    from ..ops.pallas.attn_core import attn_core, natural_token_perm
+    from ..ops.pallas.attn_core import (attn_core, attn_core_rowexp,
+                                        natural_token_perm)
     from ..ops.pallas.window_msa import fused_window_msa
+    rowexp = os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1"
 
     wh, ww = st.window
     nh = st.num_heads
@@ -445,9 +452,13 @@ def _build_fused_half_attn(st: BlockStatic, eps: float, has_qkv_bias: bool):
             qkv = qkv + bqkv.astype(x.dtype)
         bb = bias_big(table)
         bias_nat = bb[:, jnp.asarray(perm[:, None]), jnp.asarray(perm[None, :])]
-        bias_cat = bias_nat.transpose(1, 0, 2).reshape(GL, nh * GL)
         gmask = jnp.asarray(gmask_nat, dtype=jnp.bfloat16)
-        ao = attn_core(qkv, bias_cat, gmask, nh, hd ** -0.5, nHr)
+        if rowexp:
+            ao = attn_core_rowexp(qkv, bias_nat.reshape(nh * GL, GL), gmask,
+                                  nh, hd ** -0.5, nHr)
+        else:
+            bias_cat = bias_nat.transpose(1, 0, 2).reshape(GL, nh * GL)
+            ao = attn_core(qkv, bias_cat, gmask, nh, hd ** -0.5, nHr)
         out = ao @ wproj.astype(x.dtype) + bproj.astype(x.dtype)
         return out.reshape(B, H, W, C)
 
@@ -494,7 +505,8 @@ def window_attention_fused_train(p: Params, prefix: str, x: jnp.ndarray,
     sh, sw = st.shift
     bqkv = p.get(f"{prefix}.attn.qkv.bias")
     has_b = bqkv is not None
-    key = (st.grid, st.window, st.shift, st.num_heads, st.group, eps, has_b)
+    key = (st.grid, st.window, st.shift, st.num_heads, st.group, eps, has_b,
+           os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1")
     fn = _FUSED_HALF_ATTN_CACHE.get(key)
     if fn is None:
         fn = _build_fused_half_attn(st, eps, has_b)
