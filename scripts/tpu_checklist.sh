@@ -45,6 +45,7 @@ run profile_rowexp_fused 1200 env TULIP_TPU_ATTN_ROWEXP=1 TULIP_TPU_FUSED_TRAIN_
 # 5. headline numbers (batch sweep)
 run bench_train 2400 python bench.py --mode train --verbose
 run bench_infer 2400 python bench.py --verbose
+run bench_infer_nat 2400 env TULIP_TPU_MSA_NAT=1 python bench.py --verbose
 
 # 6. e2e with real file IO (VERDICT item 10)
 run e2e_io 2400 python scripts/e2e_io_bench.py --frames 256 --batch 16

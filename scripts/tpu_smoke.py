@@ -68,6 +68,21 @@ def main() -> int:
         print(f"SMOKE_OK forward[{impl} vs xla]: max|d|={diff:.3e} "
               f"(scale {scale:.3f})")
 
+    # --- 1b. natural-layout fused MSA (TULIP_TPU_MSA_NAT=1): same fused
+    # inference compute, tiles read from the row-strip layout (new Mosaic
+    # lowering — in-kernel (wh, Gww) <-> (GL,) reshapes) ------------------
+    os.environ["TULIP_TPU_MSA_NAT"] = "1"
+    try:
+        fwd_nat = jax.jit(lambda p, x, m=models["pallas"]: apply_model(
+            p, m, x, None, mode="eval", mc_drop=True,
+            compute_dtype=jnp.bfloat16))
+        pred_nat = np.asarray(fwd_nat(params, low), dtype=np.float32)
+        dn = float(np.abs(pred_nat - preds["xla"]).max())
+        assert dn < 0.02 * max(scale, 1.0), (dn, scale)
+        print(f"SMOKE_OK forward[msa_nat vs xla]: max|d|={dn:.3e}")
+    finally:
+        del os.environ["TULIP_TPU_MSA_NAT"]
+
     # --- 2. training path: attn_core custom VJP vs grouped XLA ------------
     losses, grads = {}, {}
     for impl in ("grouped", "pallas"):

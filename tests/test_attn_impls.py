@@ -61,6 +61,35 @@ def test_bf16_inference_close_to_fp32():
     assert err.mean() / scale < 0.05, (err.mean(), scale)
 
 
+def test_msa_nat_flag_matches(monkeypatch):
+    """TULIP_TPU_MSA_NAT=1 (natural-layout fused MSA kernel — no partition
+    transposes, permuted bias/mask tables) must match the grouped-layout
+    fused kernel on the bf16 inference path to bf16 reduction-order noise.
+    Exercises shifted + unshifted blocks and the per-group mask addressing
+    via the whole-model forward."""
+    cfg = model_config("tulip_base", img_size=(16, 256),
+                       target_img_size=(64, 256), patch_size=(1, 4),
+                       window_size=(2, 8), pixel_shuffle=True,
+                       circular_padding=True, log_transform=True,
+                       patch_unmerging=True, attn_impl="pallas")
+    model = build_model(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 1, 16, 256)).astype(np.float32))
+
+    monkeypatch.setenv("TULIP_TPU_MSA_NAT", "0")
+    p_grp = np.asarray(apply_model(params, model, x, None, mode="eval",
+                                   mc_drop=True,
+                                   compute_dtype=jnp.bfloat16), np.float32)
+    monkeypatch.setenv("TULIP_TPU_MSA_NAT", "1")
+    p_nat = np.asarray(apply_model(params, model, x, None, mode="eval",
+                                   mc_drop=True,
+                                   compute_dtype=jnp.bfloat16), np.float32)
+    scale = np.abs(p_grp).max() + 1e-6
+    assert np.abs(p_nat - p_grp).max() / scale < 0.01, (
+        np.abs(p_nat - p_grp).max(), scale)
+
+
 def test_group_sizing():
     """Group size adapts to the per-stage grid (<=8 windows, 128 tokens)."""
     from tulip_tpu.models.swin import make_block_static

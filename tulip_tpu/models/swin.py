@@ -533,7 +533,7 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
     roll/partition are permutations, so x + P^-1(attn(P(x))) ==
     P^-1(P(x) + attn(P(x))).
     """
-    from ..ops.pallas.window_msa import fused_window_msa
+    from ..ops.pallas.window_msa import fused_window_msa, fused_window_msa_nat
 
     B, H, W, C = x.shape
     wh, ww = st.window
@@ -546,8 +546,6 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
 
     if sh or sw:
         x = roll_hw(x, -sh, -sw)
-    xg = x.reshape(B, nH, wh, nWg, G, ww, C)
-    xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B, nH * nWg, GL, C)
 
     table = p[f"{prefix}.attn.relative_position_bias_table"].astype(jnp.float32)
     bias = table[jnp.asarray(st.rel_index.reshape(-1))]
@@ -558,20 +556,37 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
     d = x.dtype
     bqkv = p.get(f"{prefix}.attn.qkv.bias")
     bqkv = jnp.zeros((3 * C,), d) if bqkv is None else bqkv.astype(d)
-
-    out = fused_window_msa(
-        xg,
+    common = (
         p[f"{prefix}.norm1.weight"].astype(d).reshape(1, -1),
         p[f"{prefix}.norm1.bias"].astype(d).reshape(1, -1),
         p[f"{prefix}.attn.qkv.weight"].astype(d),
         bqkv.reshape(1, -1),
         p[f"{prefix}.attn.proj.weight"].astype(d),
         p[f"{prefix}.attn.proj.bias"].astype(d).reshape(1, -1),
-        bias_big, jnp.asarray(st.group_mask),
-        nh=nh, scale_inv_sqrt_hd=hd ** -0.5, eps=eps)
+    )
 
-    out = out.reshape(B, nH, nWg, G, wh, ww, C)
-    out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
+    if os.environ.get("TULIP_TPU_MSA_NAT") == "1":
+        # natural-layout kernel: row-strip reshape only, NO partition
+        # transpose; bias/mask tables permuted to natural token order
+        from ..ops.pallas.attn_core import natural_token_perm
+        perm = natural_token_perm(wh, ww, G)
+        bias_nat = bias_big[:, jnp.asarray(perm[:, None]),
+                            jnp.asarray(perm[None, :])]
+        gmask_nat = jnp.asarray(st.group_mask[:, perm[:, None],
+                                              perm[None, :]])
+        x4 = x.reshape(B * nH, wh, W, C)
+        out = fused_window_msa_nat(
+            x4, *common, bias_nat, gmask_nat,
+            nh=nh, scale_inv_sqrt_hd=hd ** -0.5, nH=nH, eps=eps)
+        out = out.reshape(B, H, W, C)
+    else:
+        xg = x.reshape(B, nH, wh, nWg, G, ww, C)
+        xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B, nH * nWg, GL, C)
+        out = fused_window_msa(
+            xg, *common, bias_big, jnp.asarray(st.group_mask),
+            nh=nh, scale_inv_sqrt_hd=hd ** -0.5, eps=eps)
+        out = out.reshape(B, nH, nWg, G, wh, ww, C)
+        out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
     if sh or sw:
         out = roll_hw(out, sh, sw)
     return out

@@ -334,8 +334,9 @@ def _bwd_kernel_rowexp(qkv_ref, biasr_ref, gmask_ref, dao_ref,
         v = qkv[:, 2 * C:]
         dao = dao_ref[0][:, cols, :].reshape(GL, C)
         gm = gmask_ref[g if mask_per_group else 0].astype(jnp.float32)
+        first_step = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                      & (g == 0))
         dq_acc = dk_acc = dv_acc = None
-        dbias_parts = []
         for ci, (h0, chunk) in enumerate(chunks):
             mask = masks[ci]
             qexp = _expand(q, chunk, mask)                 # (cGL, C)
@@ -357,7 +358,18 @@ def _bwd_kernel_rowexp(qkv_ref, biasr_ref, gmask_ref, dao_ref,
             # plain row softmax backward: dL = p*(d - rowsum(d*p))
             t = pr32 * dpr
             dl = t - pr32 * jnp.sum(t, axis=-1, keepdims=True)
-            dbias_parts.append(dl)
+            # dbias is dL verbatim in the row layout: accumulate each
+            # chunk's row slice in place (no full-size concat pass)
+            brows = slice(h0 * GL, (h0 + chunk) * GL)
+
+            @pl.when(first_step)
+            def _(dl=dl, brows=brows):
+                dbias_ref[brows, :] = dl
+
+            @pl.when(jnp.logical_not(first_step))
+            def _(dl=dl, brows=brows):
+                dbias_ref[brows, :] = dbias_ref[brows, :] + dl
+
             dl16 = dl.astype(qkv.dtype)
 
             # dq = collapse(dL @ K) (scale applied after the chunk loop);
@@ -384,17 +396,6 @@ def _bwd_kernel_rowexp(qkv_ref, biasr_ref, gmask_ref, dao_ref,
         dqkv = jnp.concatenate([dq_acc, dk_acc, dv_acc], axis=1)
         dqkv_ref[0, :, cols, :] = dqkv.astype(dqkv_ref.dtype).reshape(
             wh, Gww, 3 * C)
-
-        dbias = jnp.concatenate(dbias_parts, axis=0)       # (nh*GL, GL)
-
-        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-                 & (g == 0))
-        def _():
-            dbias_ref[:] = dbias
-
-        @pl.when((pl.program_id(0) > 0) | (pl.program_id(1) > 0) | (g > 0))
-        def _():
-            dbias_ref[:] = dbias_ref[:] + dbias
 
 
 def _groups_per_step(nWg: int, GL: int, C: int, nh: int, bwd: bool) -> int:

@@ -94,6 +94,156 @@ def _kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[0] = out.astype(x.dtype).reshape(BG, GL, C)
 
 
+def _kernel_nat(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                bproj_ref, bias_ref, gmask_ref, o_ref, *, nh: int,
+                scale: float, mask_per_group: bool, fuse_ln: bool,
+                residual: bool, eps: float, BWg: int, wh: int, Gww: int):
+    """Natural-layout twin of _kernel: reads contiguous (wh, BWg*Gww, C)
+    tiles of the (R, wh, W, C) row-strip layout (pure reshapes of the
+    (B, H, W, C) activations — NO window-partition transpose in XLA), with
+    bias/mask tables pre-permuted to natural token order (attn_core.py
+    insight #1).  The compute core is identical to _kernel: whole-tile
+    LN/qkv/proj GEMMs, per-(group, head) lane-slice peel, two batched dots,
+    one vectorized softmax region."""
+    GL = wh * Gww
+    C = x_ref.shape[3]
+    hd = C // nh
+
+    x = x_ref[0].reshape(wh * BWg * Gww, C)                   # natural rows
+    if fuse_ln:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        xn = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        xn = (xn * lnw_ref[0].astype(jnp.float32)
+              + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+    else:
+        xn = x
+    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x.dtype)
+    qkv3 = qkv.reshape(wh, BWg * Gww, 3 * C)
+
+    # per-group (wh, Gww) -> (GL,) natural-token tiles, then the same
+    # head-peel + batched-dot core as the grouped kernel
+    qs, ks, vs = [], [], []
+    for g in range(BWg):
+        tile = qkv3[:, g * Gww:(g + 1) * Gww, :].reshape(GL, 3 * C)
+        for h in range(nh):
+            qs.append(tile[:, h * hd:(h + 1) * hd])
+            ks.append(tile[:, C + h * hd:C + (h + 1) * hd])
+            vs.append(tile[:, 2 * C + h * hd:2 * C + (h + 1) * hd])
+    q = jnp.stack(qs)                                         # (BWg*nh, GL, hd)
+    k = jnp.stack(ks)
+    v = jnp.stack(vs)
+
+    sm_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    attn = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    attn = attn.astype(sm_t)                                  # (BWg*nh, GL, GL)
+    attn = attn * jnp.asarray(scale, sm_t) \
+        + jnp.tile(bias_ref[:], (BWg, 1, 1)).astype(sm_t)
+    if mask_per_group:
+        attn = attn + jnp.repeat(gmask_ref[:], nh, axis=0).astype(sm_t)
+    else:
+        attn = attn + gmask_ref[0][None].astype(sm_t)
+    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+    e = jnp.exp(attn)
+    pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+
+    pv = jax.lax.dot_general(
+        pr, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # (BWg*nh, GL, hd)
+    outs = [jnp.concatenate([pv[g * nh + h] for h in range(nh)], axis=-1)
+            .reshape(wh, Gww, C) for g in range(BWg)]
+    out = jnp.concatenate(outs, axis=1).astype(x.dtype)       # (wh, BWg*Gww, C)
+    out = out.reshape(wh * BWg * Gww, C)
+
+    out = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[0].astype(jnp.float32)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    o_ref[0] = out.astype(x.dtype).reshape(wh, BWg * Gww, C)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "scale_inv_sqrt_hd", "nH",
+                                             "interpret", "eps", "residual"))
+def fused_window_msa_nat(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
+                         gmask_nat, *, nh: int, scale_inv_sqrt_hd: float,
+                         nH: int, interpret: bool = False, eps: float = 0.0,
+                         residual: bool = None):
+    """Natural-layout fused window MSA: x4 (R, wh, W, C) row-strips (R =
+    B*nH), bias_nat (nh, GL, GL) and gmask_nat (nG or 1, GL, GL) in NATURAL
+    token order (permute with attn_core.natural_token_perm).  Output in the
+    same layout — callers need only reshapes, no partition transposes."""
+    R, wh, W, C = x4.shape
+    GL = bias_nat.shape[1]
+    Gww = GL // wh
+    nWg = W // Gww
+    mask_per_group = gmask_nat.shape[0] != 1
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    sm_bytes = 4 if x4.dtype == jnp.float32 else 2
+    hd_ = C // nh
+    per_group = (GL * 3 * C * 4
+                 + nh * GL * GL * (4 + sm_bytes + 2)
+                 + 3 * nh * GL * hd_ * 4
+                 + GL * C * 8)
+    budget = 10 * 1024 * 1024
+    BWg = max(1, min(nWg, budget // per_group, 32))
+    while nWg % BWg:
+        BWg -= 1
+    nWB = nWg // BWg
+
+    grid = (R, nWB)
+    fuse_ln = lnw is not None
+    if not fuse_ln:
+        lnw = jnp.zeros((1, C), x4.dtype)
+        lnb = jnp.zeros((1, C), x4.dtype)
+    kernel = functools.partial(
+        _kernel_nat, nh=nh, scale=scale_inv_sqrt_hd,
+        mask_per_group=mask_per_group, fuse_ln=fuse_ln,
+        residual=fuse_ln if residual is None else residual, eps=eps,
+        BWg=BWg, wh=wh, Gww=Gww)
+    if mask_per_group:
+        # gmask rows are (h_row, wg) row-major over (nH, nWg); grid row
+        # i = b * nH + h_row (same addressing as attn_core._call)
+        gmask_spec = pl.BlockSpec((BWg, GL, GL),
+                                  lambda i, j: ((i % nH) * nWB + j, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        gmask_spec = pl.BlockSpec((1, GL, GL), lambda i, j: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    io_spec = pl.BlockSpec((1, wh, BWg * Gww, C), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            io_spec,
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            gmask_spec,
+        ],
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct(x4.shape, x4.dtype),
+        interpret=interpret,
+    )(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat, gmask_nat)
+
+
 @functools.partial(jax.jit, static_argnames=("nh", "scale_inv_sqrt_hd",
                                              "interpret", "eps", "residual"))
 def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
