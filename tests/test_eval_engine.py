@@ -99,6 +99,23 @@ def test_mcdrop_zero_dropout_is_deterministic(tmp_path, tiny_model):
     assert os.path.exists(tmp_path / "results_mcdrop.txt")
 
 
+def test_mcdrop_shortcut_matches_full_loop(tmp_path, tiny_model, monkeypatch):
+    """At dropout rate 0 MCdrop takes the single-pass broadcast shortcut
+    (all `iteration` passes are identical); TULIP_TPU_MC_FULL=1 forces the
+    full chunked loop.  Both must produce the same per-sample metrics."""
+    model, params = tiny_model
+    args = _Args(str(tmp_path))
+    loader = _FakeLoader(args.img_size_low_res, args.img_size_high_res)
+    writer = TBWriter(str(tmp_path / "tb"))
+    monkeypatch.setenv("TULIP_TPU_MC_FULL", "1")
+    full = MCdrop(loader, params, model, writer, args=args)
+    monkeypatch.setenv("TULIP_TPU_MC_FULL", "0")
+    fast = MCdrop(loader, params, model, writer, args=args)
+    for k in ('mae', 'chamfer_dist', 'iou', 'precision', 'recall', 'f1'):
+        np.testing.assert_allclose(fast[k], full[k], rtol=1e-6, atol=1e-8,
+                                   err_msg=k)
+
+
 def test_gate_values_match_reference():
     assert _GATES['carla'] == (2 / 80, 1.0)
     assert _GATES['kitti'] == (2 / 80, 1.0)

@@ -299,6 +299,18 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
     noise_threshold = args.noise_threshold
     assert iteration > iteration_batch
 
+    # All shipped configs have dropout rates 0, so the `iteration` MC passes
+    # are bit-identical (drop-path is inactive in 'mc' mode — the only
+    # stochastic sources are drop_rate/attn_drop_rate).  In that case ONE
+    # forward broadcast to `iteration` rows feeds the same mean/std/removal
+    # computation the full loop would see — identical metrics, ~iteration x
+    # less device work.  TULIP_TPU_MC_FULL=1 forces the full loop (parity
+    # testing).  Reference degeneracy notes: SURVEY.md 7.3.8,
+    # engine_upsampling.py:409-426.
+    deterministic_mc = (model.cfg.drop_rate == 0.0
+                        and model.cfg.attn_drop_rate == 0.0
+                        and os.environ.get("TULIP_TPU_MC_FULL") != "1")
+
     h_low_res = tuple(args.img_size_low_res)[0]
     h_high_res = tuple(args.img_size_high_res)[0]
     downsampling_factor = h_high_res // h_low_res
@@ -381,16 +393,23 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
         high = jnp.asarray(batch[1]['sample'])
         global_step += 1
 
-        # fixed-size chunks (one compiled shape); surplus MC draws in the
-        # last chunk are sliced off, preserving the reference's exact
-        # iteration count (engine:411-421)
-        chunks = []
-        n_chunks = int(np.ceil(iteration / iteration_batch))
-        tiled = jnp.tile(low, (iteration_batch, 1, 1, 1))
-        for i in range(n_chunks):
-            rng = jax.random.fold_in(jax.random.fold_in(base_rng, global_step), i)
-            chunks.append(mc_fwd(params, tiled, rng))
-        preds = jnp.concatenate(chunks, axis=0)[:iteration]
+        if deterministic_mc:
+            # one pass, broadcast to the full iteration count (exact: all
+            # passes are identical at dropout rate 0)
+            rng = jax.random.fold_in(jax.random.fold_in(base_rng, global_step), 0)
+            single = mc_fwd(params, low, rng)
+            preds = jnp.broadcast_to(single[0], (iteration, *single.shape[1:]))
+        else:
+            # fixed-size chunks (one compiled shape); surplus MC draws in the
+            # last chunk are sliced off, preserving the reference's exact
+            # iteration count (engine:411-421)
+            chunks = []
+            n_chunks = int(np.ceil(iteration / iteration_batch))
+            tiled = jnp.tile(low, (iteration_batch, 1, 1, 1))
+            for i in range(n_chunks):
+                rng = jax.random.fold_in(jax.random.fold_in(base_rng, global_step), i)
+                chunks.append(mc_fwd(params, tiled, rng))
+            preds = jnp.concatenate(chunks, axis=0)[:iteration]
 
         outs = postprocess(preds, low, high)
 
