@@ -53,4 +53,7 @@ run e2e_io 2400 python scripts/e2e_io_bench.py --frames 256 --batch 16
 # 7. eval / MC-dropout sweep throughput (VERDICT item 5)
 run eval_sweep 3600 python scripts/eval_bench.py --samples 32
 
+# 8. chamfer kernels (brute vs hierarchical, scene + uniform clouds)
+run chamfer 1800 python scripts/bench_chamfer.py
+
 echo "CHECKLIST DONE" | tee -a "$OUT/summary.log"

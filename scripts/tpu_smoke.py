@@ -193,6 +193,15 @@ def main() -> int:
     assert dd < 1e-3, dd   # fp32 expansion-form ulp bound at |x|~40 m
     print(f"SMOKE_OK chamfer[pallas vs xla]: max|d|={dd:.3e} m^2")
 
+    # hierarchical variant: Morton sort + dynamic chunk indexing + pl.when
+    # predication — the riskiest Mosaic surface in the repo, pin it compiled
+    from tulip_tpu.ops.pallas.chamfer_h import min_sq_dists_pallas_h
+    d_h = np.asarray(jax.jit(
+        lambda x, y: min_sq_dists_pallas_h(x, y, chunk=1024))(a, bp))
+    dh = float(np.abs(d_h - d_ref).max())
+    assert dh < 2e-3, dh
+    print(f"SMOKE_OK chamfer[pallas_h vs xla]: max|d|={dh:.3e} m^2")
+
     print("SMOKE_PASS")
     return 0
 

@@ -1,10 +1,12 @@
-"""Chamfer kernel implementations must agree (XLA scan vs Pallas tiled)."""
+"""Chamfer kernel implementations must agree (XLA scan vs Pallas tiled vs
+hierarchical tile-skipping)."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from tulip_tpu.ops.chamfer import min_sq_dists_xla
 from tulip_tpu.ops.pallas.chamfer import min_sq_dists_pallas
+from tulip_tpu.ops.pallas.chamfer_h import min_sq_dists_pallas_h
 
 
 def test_pallas_chamfer_matches_xla():
@@ -29,3 +31,46 @@ def test_pallas_chamfer_vs_bruteforce():
     brute = (((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)).min(1)
     dp = np.asarray(min_sq_dists_pallas(jnp.asarray(a), jnp.asarray(b), chunk=512))
     np.testing.assert_allclose(dp, brute, rtol=1e-4, atol=1e-4)
+
+
+def test_hierarchical_chamfer_matches_bruteforce():
+    """pallas_h (Morton ordering + lower-bound tile skipping) must be EXACT:
+    skipped tile pairs provably contain no nearest neighbor.  Exercise a
+    scene-like clustered cloud (skips happen) including 1e8 pad sentinels in
+    b (the eval path pads to a chunk multiple) and unsorted inputs."""
+    rng = np.random.default_rng(2)
+    # three separated clusters + a thin "ground plane" sheet, like LiDAR
+    clusters = [rng.standard_normal((600, 3)) * 2 + c
+                for c in ([30, 0, 0], [-25, 40, 5], [0, -35, -3])]
+    sheet = np.stack([rng.uniform(-60, 60, 1000),
+                      rng.uniform(-60, 60, 1000),
+                      rng.uniform(-0.2, 0.2, 1000)], axis=1)
+    pts = np.concatenate(clusters + [sheet]).astype(np.float32)
+    rng.shuffle(pts)
+    a = pts[:1400]
+    b_real = pts[1400:2800]
+    pad = np.full((3072 - len(b_real), 3), 1e8, np.float32)   # chunk mult.
+    b = np.concatenate([b_real, pad])
+
+    brute = (((a[:, None, :] - b_real[None, :, :]) ** 2).sum(-1)).min(1)
+    dh = np.asarray(min_sq_dists_pallas_h(jnp.asarray(a), jnp.asarray(b),
+                                          chunk=512))
+    assert dh.shape == (1400,)
+    np.testing.assert_allclose(dh, brute, rtol=1e-4, atol=2e-3)
+
+
+def test_hierarchical_chamfer_uniform_and_degenerate():
+    """Uniform clouds (few skips) and a degenerate all-identical cloud
+    (zero span) must both stay exact."""
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-50, 50, (1100, 3)).astype(np.float32)
+    b = rng.uniform(-50, 50, (1024, 3)).astype(np.float32)
+    brute = (((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)).min(1)
+    dh = np.asarray(min_sq_dists_pallas_h(jnp.asarray(a), jnp.asarray(b),
+                                          chunk=512))
+    np.testing.assert_allclose(dh, brute, rtol=1e-3, atol=4e-3)
+
+    c = np.ones((700, 3), np.float32) * 7.0
+    dh0 = np.asarray(min_sq_dists_pallas_h(jnp.asarray(c), jnp.asarray(c[:512]),
+                                           chunk=512))
+    np.testing.assert_allclose(dh0, np.zeros(700), atol=1e-4)

@@ -112,8 +112,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                         help='window-attention kernel implementation '
                              '(grouped = block-diagonal MXU-shaped fusion)')
     parser.add_argument('--chamfer_impl', default='auto', type=str,
-                        choices=['auto', 'xla', 'pallas'],
-                        help='chamfer-distance kernel implementation')
+                        choices=['auto', 'xla', 'pallas', 'pallas_h'],
+                        help='chamfer-distance kernel implementation '
+                             '(pallas_h = hierarchical exact tile skipping)')
     parser.add_argument('--mesh_shape', nargs='+', type=int, default=None,
                         help='device mesh shape, e.g. "8" for 8-way data parallel')
     parser.add_argument('--sp_degree', default=1, type=int,

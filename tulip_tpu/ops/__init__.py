@@ -22,14 +22,20 @@ def get_chamfer_impl(name: str = None):
     if name is None:
         name = _DEFAULT_CHAMFER
     if name in ("auto", "xla"):
-        # pallas impl registers itself when importable on this backend
+        # pallas impls register themselves when importable on this backend
         try:
             from .pallas import chamfer as _pc  # noqa: F401
+            from .pallas import chamfer_h as _pch  # noqa: F401
             if name == "auto" and "pallas" in _CHAMFER_IMPLS:
                 import jax
                 if jax.default_backend() not in ("cpu",):
+                    # hierarchical impl is exact and skips far tile pairs;
+                    # brute force stays selectable via --chamfer_impl pallas
                     return _CHAMFER_IMPLS["pallas"]
         except Exception:
             pass
         return _CHAMFER_IMPLS["xla"]
+    if name in ("pallas", "pallas_h") and name not in _CHAMFER_IMPLS:
+        from .pallas import chamfer as _pc  # noqa: F401
+        from .pallas import chamfer_h as _pch  # noqa: F401
     return _CHAMFER_IMPLS[name]
