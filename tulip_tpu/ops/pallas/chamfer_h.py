@@ -63,7 +63,7 @@ def _kernel_h(lb_ref, idx_ref, a_ref, bt_ref, o_ref, *, TM: int):
 
     @pl.when(j == 0)
     def _():
-        o_ref[:] = jnp.full_like(o_ref, jnp.float32(1e30))
+        o_ref[:] = jnp.full(o_ref.shape, 1e30, o_ref.dtype)
 
     # current worst true distance across the tile's queries: lane-partial
     # mins hold full |a-b|^2 (the augmentation folds a2 AND b2 into the dot)
