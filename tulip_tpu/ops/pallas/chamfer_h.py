@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+_SMEM_BN = 8     # sublane rows per SMEM window of the lb/order tables
 
 
 def _morton10(x, lo, span):
@@ -59,6 +60,7 @@ def _tile_bounds(pts, tile):
 
 
 def _kernel_h(lb_ref, idx_ref, a_ref, bt_ref, o_ref, *, TM: int):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -68,11 +70,13 @@ def _kernel_h(lb_ref, idx_ref, a_ref, bt_ref, o_ref, *, TM: int):
     # current worst true distance across the tile's queries: lane-partial
     # mins hold full |a-b|^2 (the augmentation folds a2 AND b2 into the dot)
     cur = jnp.max(jnp.min(o_ref[:], axis=-1))
-    lb = lb_ref[0, 0]
+    # lb/idx arrive as (8, 128) SMEM windows (Mosaic rejects (1, 1) blocks
+    # over larger arrays); the in-window remainder is a dynamic scalar load
+    lb = lb_ref[i % _SMEM_BN, j % _LANES]
 
     @pl.when((j == 0) | (lb < cur))
     def _():
-        idx = idx_ref[0, 0]
+        idx = idx_ref[i % _SMEM_BN, j % _LANES]
         a = a_ref[:]                                     # (TN, 8)
         # dynamic index on the LEADING (untiled) dim — dynamic lane-dim
         # slicing is the op Mosaic has historically mis-lowered
@@ -136,6 +140,12 @@ def min_sq_dists_pallas_h(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 1024,
     lb = (lb_lin * lb_lin).astype(jnp.float32)       # (Ni, Nj)
     order = jnp.argsort(lb, axis=1).astype(jnp.int32)
     lb_sorted = jnp.take_along_axis(lb, order, axis=1)
+    # pad the scalar tables up to whole (8, 128) SMEM windows; padding is
+    # never read (grid stops at (Ni, Nj))
+    pad_i = (-lb.shape[0]) % _SMEM_BN
+    pad_j = (-lb.shape[1]) % _LANES
+    lb_sorted = jnp.pad(lb_sorted, ((0, pad_i), (0, pad_j)))
+    order = jnp.pad(order, ((0, pad_i), (0, pad_j)))
 
     # augmented layout: ONE matmul yields the full |a-b|^2
     #   a_aug = [x, y, z, 1, |a|^2, 0, 0, 0]
@@ -160,9 +170,11 @@ def min_sq_dists_pallas_h(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 1024,
         kernel,
         grid=(Ni, Nj),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+            pl.BlockSpec((_SMEM_BN, _LANES),
+                         lambda i, j: (i // _SMEM_BN, j // _LANES),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+            pl.BlockSpec((_SMEM_BN, _LANES),
+                         lambda i, j: (i // _SMEM_BN, j // _LANES),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TN, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
