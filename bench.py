@@ -198,8 +198,12 @@ def main():
     baseline_path = os.path.join(REPO, "BASELINE.json")
     if os.path.exists(baseline_path):
         published = json.load(open(baseline_path)).get("published", {})
-        ref = published.get("a100_pytorch_images_per_sec") \
-            or published.get("first_tpu_record")
+        if args.mode == "train":
+            ref = published.get("a100_pytorch_train_images_per_sec") \
+                or published.get("first_tpu_train_record")
+        else:
+            ref = published.get("a100_pytorch_images_per_sec") \
+                or published.get("first_tpu_record")
         if ref:
             vs_baseline = round(value / float(ref), 3)
 

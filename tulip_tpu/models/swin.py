@@ -342,7 +342,7 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
             rng=rng, dropout_active=dropout_active)
 
     from ..ops.pallas.attn_core import (attn_core, attn_core_rowexp,
-                                        natural_token_perm)
+                                        natural_token_perm, rowexp_fits)
 
     B, H, W, C = x.shape
     wh, ww = st.window
@@ -374,7 +374,8 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
 
     gmask_nat = st.group_mask[:, perm[:, None], perm[None, :]]
     gmask = jnp.asarray(gmask_nat, dtype=jnp.bfloat16)
-    if os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1":
+    if (os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1"
+            and rowexp_fits(GL, C, nh)):
         out = attn_core_rowexp(qkv, bias_nat.reshape(nh * GL, GL), gmask,
                                nh, hd ** -0.5, nH)         # (R, wh, W, C)
     else:
@@ -415,7 +416,7 @@ def _build_fused_half_attn(st: BlockStatic, eps: float, has_qkv_bias: bool):
     natural layout rounding (bf16 ulp scale, pinned in tests).
     """
     from ..ops.pallas.attn_core import (attn_core, attn_core_rowexp,
-                                        natural_token_perm)
+                                        natural_token_perm, rowexp_fits)
     from ..ops.pallas.window_msa import fused_window_msa
     rowexp = os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1"
 
@@ -453,7 +454,7 @@ def _build_fused_half_attn(st: BlockStatic, eps: float, has_qkv_bias: bool):
         bb = bias_big(table)
         bias_nat = bb[:, jnp.asarray(perm[:, None]), jnp.asarray(perm[None, :])]
         gmask = jnp.asarray(gmask_nat, dtype=jnp.bfloat16)
-        if rowexp:
+        if rowexp and rowexp_fits(GL, C, nh):
             ao = attn_core_rowexp(qkv, bias_nat.reshape(nh * GL, GL), gmask,
                                   nh, hd ** -0.5, nHr)
         else:

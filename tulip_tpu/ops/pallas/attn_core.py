@@ -398,6 +398,25 @@ def _bwd_kernel_rowexp(qkv_ref, biasr_ref, gmask_ref, dao_ref,
             wh, Gww, 3 * C)
 
 
+def rowexp_fits(GL: int, C: int, nh: int) -> bool:
+    """Whether the row-expanded BACKWARD kernel fits scoped VMEM at BWg=1.
+
+    The row expansion multiplies the (GL, C) q/dao/dq buffers by the head
+    chunk, so at the deepest TULIP stage (GL=128, C=768, nh=24) one group
+    alone needs ~18 MB — over the 16 MB scoped-vmem stack limit (measured:
+    Mosaic AOT fails with 17.61M requested).  Callers fall back to the
+    column-expanded attn_core for such stages."""
+    chunk = _head_chunks(nh)[0][1]
+    cGL = chunk * GL
+    b = cGL * C * (2 + 2 + 4)              # qexp, daoexp (bf16), dq_big
+    b += 5 * cGL * GL * 4                  # logits, pr32, dpr, t, dl
+    b += 5 * GL * C * 4                    # dk_c, dv_c + dq/dk/dv accs
+    b += (nh // chunk) * cGL * C           # chunk masks (i8)
+    b += GL * 3 * C * 2 * 2 + GL * C * 2   # qkv in/out blocks, dao
+    b += 2 * nh * GL * GL * 4              # bias in + dbias out (fp32)
+    return b <= 15 * 1024 * 1024
+
+
 def _groups_per_step(nWg: int, GL: int, C: int, nh: int, bwd: bool) -> int:
     chunk = _head_chunks(nh)[0][1]
     # seg-buffer counts include the full-width gm tile / exp / product
