@@ -178,6 +178,38 @@ def main() -> int:
     finally:
         del os.environ["TULIP_TPU_ATTN_ROWEXP"]
 
+    # --- 2d. Pallas LayerNorm custom VJP (the train path's layout anchor,
+    # ops/pallas/ln.py) — pin fwd + grads compiled, standalone ------------
+    from tulip_tpu.models import layers as Lx
+    from tulip_tpu.ops.pallas.ln import layer_norm_vjp
+    xln = jnp.asarray(rng.standard_normal((4096, 96)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    wln = jnp.asarray(1 + 0.1 * rng.standard_normal(96).astype(np.float32))
+    bln = jnp.asarray(0.1 * rng.standard_normal(96).astype(np.float32))
+    gln = jnp.asarray(rng.standard_normal((4096, 96)).astype(np.float32))
+
+    def ln_ref(x, w, b):
+        return Lx.layer_norm({"n.weight": w, "n.bias": b}, "n", x, 1e-6)
+
+    def ln_new(x, w, b):
+        return layer_norm_vjp(x, w.reshape(1, -1), b.reshape(1, -1), 1e-6)
+
+    for nm, f in (("ref", ln_ref), ("pallas", ln_new)):
+        def lo(x, w, b, f=f):
+            return jnp.sum(f(x, w, b).astype(jnp.float32) * gln)
+        val, gs = jax.jit(jax.value_and_grad(lo, argnums=(0, 1, 2)))(
+            xln, wln, bln)
+        if nm == "ref":
+            ref_out = (float(val), [np.asarray(t, np.float32) for t in gs])
+        else:
+            dv = abs(float(val) - ref_out[0]) / max(abs(ref_out[0]), 1e-6)
+            dg = max(float(np.abs(np.asarray(t, np.float32) - r).max())
+                     / max(float(np.abs(r).max()), 1e-6)
+                     for t, r in zip(gs, ref_out[1]))
+            assert dv < 1e-2 and dg < 2e-2, (dv, dg)
+            print(f"SMOKE_OK ln_vjp[pallas vs xla]: val rel d={dv:.3e}, "
+                  f"worst grad rel max|d|={dg:.3e}")
+
     # --- 3. chamfer: Pallas tiled sweep vs lax.scan twin ------------------
     from tulip_tpu.ops.chamfer import min_sq_dists_xla
     from tulip_tpu.ops.pallas.chamfer import min_sq_dists_pallas

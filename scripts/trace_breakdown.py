@@ -53,14 +53,16 @@ def aggregate(trace_dir: str):
 
     by_base = defaultdict(float)
     by_full = defaultdict(float)
+    by_module = defaultdict(lambda: [0, 0.0])   # name -> [count, us]
     total = 0.0
-    n_inv = 0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         lane = (e.get("pid"), e.get("tid"))
         if lane in mod_lanes:
-            n_inv += 1
+            m = by_module[e.get("name", "?")]
+            m[0] += 1
+            m[1] += e["dur"]
             continue
         if op_lanes and lane not in op_lanes:
             continue
@@ -68,7 +70,8 @@ def aggregate(trace_dir: str):
         by_base[name.split(".")[0]] += e["dur"]
         by_full[name] += e["dur"]
         total += e["dur"]
-    return path, max(n_inv, 1), by_base, by_full, total
+    n_inv = sum(c for c, _ in by_module.values())
+    return path, max(n_inv, 1), by_base, by_full, total, by_module
 
 
 def main():
@@ -131,16 +134,21 @@ def main():
     else:
         trace_dir = args.parse_only
 
-    path, n_inv, by_base, by_full, total = aggregate(trace_dir)
+    path, n_inv, by_base, by_full, total, by_module = aggregate(trace_dir)
+    n_steps = args.steps
     print(f"parsed {path}")
     print(f"device XLA-Ops total: {total/1000:.1f} ms over {n_inv} module "
-          f"invocation(s)  (~{total/n_inv/1000:.2f} ms/step)")
+          f"invocation(s), {n_steps} step(s)  "
+          f"(~{total/n_steps/1000:.2f} ms/step)")
+    print("-- by module (count, ms/step):")
+    for name, (c, us) in sorted(by_module.items(), key=lambda kv: -kv[1][1]):
+        print(f"  {us/n_steps/1000:9.3f}  x{c:<4d} {name}")
     print("-- by op family (ms/step):")
     for name, us in sorted(by_base.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"  {us/n_inv/1000:9.3f}  {name}")
+        print(f"  {us/n_steps/1000:9.3f}  {name}")
     print("-- top individual ops (ms/step):")
     for name, us in sorted(by_full.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"  {us/n_inv/1000:9.3f}  {name}")
+        print(f"  {us/n_steps/1000:9.3f}  {name}")
 
 
 if __name__ == "__main__":

@@ -322,6 +322,28 @@ def window_attention_pallas(p: Params, prefix: str, x: jnp.ndarray,
     return out
 
 
+_BIAS_ONEHOT_CACHE: dict = {}
+
+
+def _bias_onehot_nat(st: BlockStatic, perm: np.ndarray) -> np.ndarray:
+    """Static (GL*GL, table_rows) one-hot matrix M with
+    M[i*GL+j, t] = 1 iff t == rel_index[wt[perm[i]], wt[perm[j]]], so that
+    ``M @ table`` materializes the natural-order relative-position bias as a
+    matmul instead of a gather chain (whose transpose is scatter-add)."""
+    key = (st.grid, st.window, st.group)
+    got = _BIAS_ONEHOT_CACHE.get(key)
+    if got is None:
+        wtp = st.win_token[perm]
+        m = st.rel_index[wtp[:, None], wtp[None, :]]       # (GL, GL)
+        # rel_index is built from the ORIGINAL config window (see
+        # make_block_static), whose corner displacements always attain the
+        # table's last row — so max+1 == table rows exactly
+        tsz = int(st.rel_index.max()) + 1
+        got = np.eye(tsz, dtype=np.float32)[m.reshape(-1)]
+        _BIAS_ONEHOT_CACHE[key] = got
+    return got
+
+
 def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
                                   st: BlockStatic, *, attn_drop: float = 0.0,
                                   proj_drop: float = 0.0, rng=None,
@@ -363,24 +385,29 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
 
     qkv = L.linear(p, f"{prefix}.qkv", x4)                 # (R, wh, W, 3C)
 
+    # relative-position bias in natural token order via ONE static one-hot
+    # matmul: bias_nat[h,i,j] = table[rel_index[wt[perm[i]], wt[perm[j]]], h].
+    # The equal-valued 3-gather chain (table[rel_index] -> win_token ->
+    # perm) costs three scatter-adds in the BACKWARD (scatter is the
+    # transpose of gather; measured ~50 us each x 14 blocks on v5e);
+    # onehot @ table and its transpose are tiny MXU matmuls.  Cross-window
+    # entries hold garbage table values either way — the -1e9 group mask
+    # zeroes their softmax probs exactly, so no gradient flows to them.
     table = p[f"{prefix}.relative_position_bias_table"].astype(jnp.float32)
-    bias = table[jnp.asarray(st.rel_index.reshape(-1))]
-    bias = bias.reshape(Lw, Lw, nh).transpose(2, 0, 1)     # (nh, L, L)
-    wt = st.win_token
-    bias_big = bias[:, jnp.asarray(wt[:, None]), jnp.asarray(wt[None, :])]
     perm = natural_token_perm(wh, ww, G)
-    bias_nat = bias_big[:, jnp.asarray(perm[:, None]),
-                        jnp.asarray(perm[None, :])]
+    onehot = _bias_onehot_nat(st, perm)                    # (GL*GL, tsz)
+    bias_flat = jnp.asarray(onehot) @ table                # (GL*GL, nh)
 
     gmask_nat = st.group_mask[:, perm[:, None], perm[None, :]]
     gmask = jnp.asarray(gmask_nat, dtype=jnp.bfloat16)
     if (os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1"
             and rowexp_fits(GL, C, nh)):
-        out = attn_core_rowexp(qkv, bias_nat.reshape(nh * GL, GL), gmask,
+        bias_row = bias_flat.reshape(GL, GL, nh).transpose(2, 0, 1)
+        out = attn_core_rowexp(qkv, bias_row.reshape(nh * GL, GL), gmask,
                                nh, hd ** -0.5, nH)         # (R, wh, W, C)
     else:
-        bias_cat = bias_nat.transpose(1, 0, 2).reshape(GL, nh * GL)
-        out = attn_core(qkv, bias_cat, gmask,
+        bias_cat = bias_flat.reshape(GL, GL, nh).transpose(0, 2, 1)
+        out = attn_core(qkv, bias_cat.reshape(GL, nh * GL), gmask,
                         nh, hd ** -0.5, nH)                # (R, wh, W, C)
     out = L.linear(p, f"{prefix}.proj", out)
 
@@ -670,7 +697,24 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
         next_rng()
         y = window_attention_fused_train(p, prefix, x, st, eps)
     else:
-        y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
+        if (attn_impl == "pallas" and x.dtype == jnp.bfloat16
+                and os.environ.get("TULIP_TPU_LN_PALLAS") == "1"):
+            # Pallas LN custom VJP (ops/pallas/ln.py) — opt-in A/B flag.
+            # Measured on v5e (batch 16): the step's relayout copies are
+            # NOT caused by the XLA LN fusions (they persist with LN in
+            # Pallas), and XLA folds the LN into neighbouring fusions
+            # nearly for free, so this trades ~1.9 ms of fusions for
+            # ~3.2 ms of standalone kernels (87.1 -> 90.5 ms/step).  Kept
+            # for geometries where the LN dominates differently.
+            from ..ops.pallas.ln import layer_norm_vjp
+            B_, H_, W_, C_ = x.shape
+            y = layer_norm_vjp(
+                x.reshape(-1, C_),
+                p[f"{prefix}.norm1.weight"].reshape(1, -1),
+                p[f"{prefix}.norm1.bias"].reshape(1, -1),
+                eps).reshape(B_, H_, W_, C_)
+        else:
+            y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
         if attn_impl == "pallas":
             attn_fn = window_attention_pallas_train
         else:
