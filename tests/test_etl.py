@@ -82,3 +82,25 @@ def test_load_from_bin(tmp_path):
     path = str(tmp_path / "scan.bin")
     pts.tofile(path)
     np.testing.assert_array_equal(load_from_bin(path), pts)
+
+
+def test_kitti_split_lists_shipped_and_used_by_default():
+    """The canonical KITTI split lists (the exact data files the reference
+    ships, kitti_utils/{train,val}_files.txt) must be present and be what
+    the sampler CLI loads when no --train_split/--val_split is given."""
+    import importlib.util
+    import os
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "kitti_utils")
+    spec = importlib.util.spec_from_file_location(
+        "repo_sample_kitti", os.path.join(here, "sample_kitti_dataset.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    train = mod._load_split(None, "train_files.txt", "/nonexistent")
+    val = mod._load_split(None, "val_files.txt", "/nonexistent")
+    assert len(train) == 45200, len(train)
+    assert len(val) == 1776, len(val)
+    # spot-check canonical entries (drive-per-line format)
+    assert train[0] == "2011_10_03/2011_10_03_drive_0034_sync"
+    assert all("/" in d for d in val[:10])

@@ -60,3 +60,50 @@ def test_sampler_epoch_reshuffle_deterministic():
     s1.set_epoch(3)
     s2.set_epoch(3)
     assert list(s1) == list(s2)
+
+
+def test_launcher_env_discovery(monkeypatch):
+    """OMPI (--dist_on_itp) and SLURM rank discovery, same precedence as the
+    reference's init_distributed_mode (tulip/util/misc.py:253-274)."""
+    import types
+    from tulip_tpu.parallel.mesh import discover_launcher_env
+
+    for var in ("RANK", "WORLD_SIZE", "LOCAL_RANK", "MASTER_ADDR",
+                "MASTER_PORT", "SLURM_PROCID", "SLURM_NTASKS",
+                "OMPI_COMM_WORLD_RANK", "OMPI_COMM_WORLD_SIZE",
+                "OMPI_COMM_WORLD_LOCAL_RANK"):
+        monkeypatch.delenv(var, raising=False)
+
+    # no launcher env -> single process
+    assert discover_launcher_env(None) == (0, 1, None)
+
+    # OMPI env honored only under --dist_on_itp, and re-exports RANK etc.
+    monkeypatch.setenv("OMPI_COMM_WORLD_RANK", "3")
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "8")
+    monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_RANK", "1")
+    monkeypatch.setenv("MASTER_ADDR", "10.0.0.2")
+    monkeypatch.setenv("MASTER_PORT", "23456")
+    assert discover_launcher_env(
+        types.SimpleNamespace(dist_on_itp=False)) == (0, 1, None)
+    rank, world, coord = discover_launcher_env(
+        types.SimpleNamespace(dist_on_itp=True))
+    assert (rank, world, coord) == (3, 8, "10.0.0.2:23456")
+    assert os.environ["RANK"] == "3"
+    assert os.environ["WORLD_SIZE"] == "8"
+    assert os.environ["LOCAL_RANK"] == "1"
+
+    # torchrun env takes precedence once set
+    monkeypatch.setenv("RANK", "2")
+    monkeypatch.setenv("WORLD_SIZE", "4")
+    assert discover_launcher_env(None) == (2, 4, "10.0.0.2:23456")
+
+    # SLURM fallback
+    monkeypatch.delenv("RANK")
+    monkeypatch.delenv("WORLD_SIZE")
+    monkeypatch.delenv("OMPI_COMM_WORLD_RANK")
+    monkeypatch.setenv("SLURM_PROCID", "5")
+    monkeypatch.setenv("SLURM_NTASKS", "16")
+    rank, world, coord = discover_launcher_env(None)
+    assert (rank, world, coord) == (5, 16, "10.0.0.2:23456")
+    monkeypatch.delenv("MASTER_ADDR")
+    assert discover_launcher_env(None) == (5, 16, None)

@@ -234,6 +234,8 @@ def model_config(
     attn_drop_rate: float = 0.0,
     drop_path_rate: float = 0.1,
     attn_impl: str = 'grouped',
+    depths: Optional[Tuple[int, ...]] = None,
+    num_heads: Optional[Tuple[int, ...]] = None,
 ) -> ModelConfig:
     """Build the static model config for 'tulip_base' / 'tulip_large'.
 
@@ -241,13 +243,21 @@ def model_config(
     (tulip/model/tulip.py:739-755): base depths (2,2,2,2) heads (3,6,12,24);
     large depths (2,2,2,2,2) heads (3,6,12,24,48); both embed_dim 96,
     mlp_ratio 4, LayerNorm eps 1e-6.
+
+    ``depths``/``num_heads`` override the variant defaults; they are a test
+    hook (tiny configs compile orders of magnitude faster on the CPU
+    backend while exercising the identical stage/sharding machinery) and
+    are not part of the reference CLI surface.
     """
     if model_select == 'tulip_base':
-        depths, num_heads = (2, 2, 2, 2), (3, 6, 12, 24)
+        d_depths, d_heads = (2, 2, 2, 2), (3, 6, 12, 24)
     elif model_select == 'tulip_large':
-        depths, num_heads = (2, 2, 2, 2, 2), (3, 6, 12, 24, 48)
+        d_depths, d_heads = (2, 2, 2, 2, 2), (3, 6, 12, 24, 48)
     else:
         raise ValueError(f'unknown model_select: {model_select}')
+    depths = tuple(depths) if depths is not None else d_depths
+    num_heads = tuple(num_heads) if num_heads is not None else d_heads
+    assert len(depths) == len(num_heads)
 
     img_size = tuple(img_size)
     target_img_size = tuple(target_img_size)

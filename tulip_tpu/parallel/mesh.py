@@ -23,8 +23,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .import dist
 
 
+def discover_launcher_env(args=None):
+    """Rank/world/coordinator discovery, same precedence as the reference's
+    ``init_distributed_mode`` (tulip/util/misc.py:253-274):
+
+    1. ``--dist_on_itp``: OpenMPI env (OMPI_COMM_WORLD_RANK/SIZE +
+       MASTER_ADDR/MASTER_PORT); re-exports RANK/WORLD_SIZE/LOCAL_RANK like
+       the reference does.
+    2. torchrun env: RANK/WORLD_SIZE (+ MASTER_ADDR/MASTER_PORT).
+    3. SLURM: SLURM_PROCID/SLURM_NTASKS.
+
+    Returns (rank, world, coordinator_or_None).
+    """
+    env = os.environ
+    if args is not None and getattr(args, "dist_on_itp", False) \
+            and "OMPI_COMM_WORLD_RANK" in env:
+        rank = int(env["OMPI_COMM_WORLD_RANK"])
+        world = int(env["OMPI_COMM_WORLD_SIZE"])
+        env["RANK"] = str(rank)
+        env["WORLD_SIZE"] = str(world)
+        env["LOCAL_RANK"] = env.get("OMPI_COMM_WORLD_LOCAL_RANK", "0")
+        coord = None
+        if "MASTER_ADDR" in env:
+            coord = env["MASTER_ADDR"] + ":" + env.get("MASTER_PORT", "29500")
+        return rank, world, coord
+    if "RANK" in env and "WORLD_SIZE" in env:
+        rank, world = int(env["RANK"]), int(env["WORLD_SIZE"])
+        coord = None
+        if "MASTER_ADDR" in env:
+            coord = env["MASTER_ADDR"] + ":" + env.get("MASTER_PORT", "29500")
+        return rank, world, coord
+    if "SLURM_PROCID" in env:
+        rank = int(env["SLURM_PROCID"])
+        world = int(env.get("SLURM_NTASKS", "1"))
+        coord = None
+        if "MASTER_ADDR" in env:
+            coord = env["MASTER_ADDR"] + ":" + env.get("MASTER_PORT", "29500")
+        return rank, world, coord
+    return 0, 1, None
+
+
 def init_distributed_mode(args) -> None:
-    """torchrun-compatible startup (reference: misc.py:253-285).
+    """torchrun/OMPI/SLURM-compatible startup (reference: misc.py:253-285).
 
     The shipped bash_scripts launch via ``torchrun --nproc_per_node=N``.
     Under single-controller JAX one process drives all chips, so when
@@ -33,25 +73,20 @@ def init_distributed_mode(args) -> None:
     effective global batch (batch_size x nproc) is preserved by widening the
     per-step batch (see main_lidar_upsampling.py shim).
     """
-    rank = int(os.environ.get("RANK", "0"))
-    world = int(os.environ.get("WORLD_SIZE", "1"))
+    rank, world, coord = discover_launcher_env(args)
     args.rank = rank
     args.launcher_world_size = world
     args.distributed = False
     if int(os.environ.get("TULIP_TPU_MULTIHOST", "0")):
         # Multi-host: one JAX process per host, each driving its local
         # chips.  The coordinator is discovered the same way the reference
-        # discovers its NCCL rendezvous (misc.py:253-274): torchrun's
-        # RANK/WORLD_SIZE/MASTER_ADDR/MASTER_PORT env.  On TPU pods (and
-        # Slurm/OpenMPI) those are absent and jax auto-detects instead.
+        # discovers its NCCL rendezvous (misc.py:253-274): torchrun/OMPI/
+        # SLURM env mapped by discover_launcher_env.  On TPU pods those are
+        # absent and jax auto-detects instead.
         kwargs = {}
-        if "MASTER_ADDR" in os.environ and world > 1:
-            kwargs = dict(
-                coordinator_address=(os.environ["MASTER_ADDR"] + ":"
-                                     + os.environ.get("MASTER_PORT", "29500")),
-                num_processes=world,
-                process_id=rank,
-            )
+        if coord is not None and world > 1:
+            kwargs = dict(coordinator_address=coord,
+                          num_processes=world, process_id=rank)
         jax.distributed.initialize(**kwargs)
         args.distributed = True
         args.rank = jax.process_index()
