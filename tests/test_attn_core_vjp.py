@@ -14,6 +14,9 @@ from tulip_tpu.config import model_config
 from tulip_tpu.models import swin as S
 from tulip_tpu.ops.pallas.attn_core import attn_core
 
+# multi-minute CPU-backend compiles: full-model or full-step jits
+pytestmark = pytest.mark.slow
+
 
 def _xla_natural(qkv4, bias, gmask, nh, scale, perm, nH):
     """Reference math for the natural-layout core: extract (wh, Gww) tiles,

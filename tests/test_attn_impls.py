@@ -12,6 +12,9 @@ import jax.numpy as jnp
 from tulip_tpu.config import model_config
 from tulip_tpu.models.tulip import apply_model, build_model, init_params
 
+# multi-minute CPU-backend compiles: full-model or full-step jits
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("impl", ["grouped", "pallas"])
 @pytest.mark.parametrize("variant,img,target", [

@@ -29,6 +29,9 @@ from tulip_tpu.utils.checkpoint import import_torch_state_dict
 from tulip_tpu.eval.engine import MCdrop as our_mcdrop
 from tulip_tpu.eval.engine import evaluate as our_evaluate
 
+# multi-minute CPU-backend compiles: full-model or full-step jits
+pytestmark = pytest.mark.slow
+
 
 class _DummyWriter:
     def add_scalar(self, *a, **k):

@@ -14,6 +14,9 @@ from tulip_tpu.train.step import (init_train_state, make_optimizer,
                                   make_train_step, TrainState)
 from tulip_tpu.utils import checkpoint as ckpt_util
 
+# multi-minute CPU-backend compiles: full-model or full-step jits
+pytestmark = pytest.mark.slow
+
 
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge

@@ -14,6 +14,9 @@ from tulip_tpu.models.tulip import build_model, init_params
 from tulip_tpu.eval.engine import MCdrop, evaluate, _GATES
 from tulip_tpu.utils.writer import TBWriter
 
+# multi-minute CPU-backend compiles: full-model or full-step jits
+pytestmark = pytest.mark.slow
+
 
 class _FakeLoader:
     """Two (low, high) batch-1 samples in the PairDataset dict format."""

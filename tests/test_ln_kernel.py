@@ -13,6 +13,9 @@ import pytest
 from tulip_tpu.models import layers as L
 from tulip_tpu.ops.pallas.ln import layer_norm_vjp
 
+# multi-minute CPU-backend compiles: full-model or full-step jits
+pytestmark = pytest.mark.slow
+
 
 def _rel(a, b):
     a = np.asarray(a, np.float32)

@@ -15,6 +15,9 @@ from tulip_tpu.config import model_config
 from tulip_tpu.models.tulip import build_model, apply_model, init_params
 from tulip_tpu.utils.checkpoint import import_torch_state_dict
 
+# multi-minute CPU-backend compiles: full-model or full-step jits
+pytestmark = pytest.mark.slow
+
 
 def _build_pair(reference_tulip, variant, img_size, target_img_size, **flags):
     import torch

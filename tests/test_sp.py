@@ -16,6 +16,9 @@ from tulip_tpu.parallel.mesh import make_mesh
 from tulip_tpu.parallel.sp import (build_sp_statics, make_sp_forward,
                                    make_sp_train_step, max_sp_degree)
 
+# multi-minute CPU-backend compiles: full-model or full-step jits
+pytestmark = pytest.mark.slow
+
 IMG, TARGET = (32, 1024), (128, 1024)
 
 

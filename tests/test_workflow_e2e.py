@@ -11,6 +11,9 @@ import sys
 import numpy as np
 import pytest
 
+# subprocess CLI runs: full-model CPU compiles per case
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
