@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--model", default="tulip_base",
                     choices=["tulip_base", "tulip_large"])
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--dispatch", choices=["scan", "host"], default="scan",
+                    help="scan: chain the timed iterations on-device in one "
+                    "lax.scan dispatch (measures device throughput; default)."
+                    " host: one dispatch per iteration (includes the ~5 ms "
+                    "per-call axon tunnel overhead in the number)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions (scan dispatch); best is reported")
     args = ap.parse_args()
 
     # Fail fast (rc=3) instead of hanging forever when the TPU tunnel is
@@ -83,25 +90,44 @@ def main():
         low = jnp.asarray(rng.uniform(0, 1, (B, 1, *cfg.img_size)).astype(np.float32))
         high = jnp.asarray(rng.uniform(0, 1, (B, 1, *cfg.target_img_size)).astype(np.float32))
 
+        # `salt` forces a data dependence between iterations so the loop
+        # cannot be overlapped/elided by an async runtime (a tiny nonzero
+        # scale so nothing can constant-fold the chain away; it vanishes in
+        # bf16 compute).
         if args.mode == "infer":
-            @jax.jit
-            def fn(p, lo, salt):
-                # `salt` forces a data dependence between iterations so the
-                # loop cannot be overlapped/elided by an async runtime.
+            def one_iter(p, lo, salt):
                 pred = apply_model(p, model, lo + salt, None, mode="eval",
                                    mc_drop=True, compute_dtype=jnp.bfloat16)
-                return pred, jnp.mean(pred) * 0.0
-            salt = jnp.zeros((), jnp.float32)
-            out, salt = fn(params, low, salt)
-            _ = float(salt)   # host read: block_until_ready is unreliable
-            for _ in range(args.warmup):
-                out, salt = fn(params, low, salt)
-            _ = float(salt)   # on the experimental axon platform
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out, salt = fn(params, low, salt)
-            _ = float(salt)  # host round-trip: everything must have executed
-            dt = time.perf_counter() - t0
+                return jnp.mean(pred).astype(jnp.float32) * 1e-12
+
+            if args.dispatch == "scan":
+                def fn_many(p, lo, salt, K):
+                    def body(s, _):
+                        return one_iter(p, lo, s), None
+                    s, _ = jax.lax.scan(body, salt, None, length=K)
+                    return s
+                fn_many = jax.jit(fn_many, static_argnums=3)
+                salt = jnp.zeros((), jnp.float32)
+                _ = float(fn_many(params, low, salt, max(args.warmup, 1)))
+                dt = None
+                for _rep in range(max(args.reps, 1)):
+                    t0 = time.perf_counter()
+                    _ = float(fn_many(params, low, salt, args.iters))
+                    rep_dt = time.perf_counter() - t0
+                    dt = rep_dt if dt is None else min(dt, rep_dt)
+            else:
+                fn = jax.jit(one_iter)
+                salt = jnp.zeros((), jnp.float32)
+                salt = fn(params, low, salt)
+                _ = float(salt)   # host read: block_until_ready is
+                for _ in range(args.warmup):   # unreliable on axon
+                    salt = fn(params, low, salt)
+                _ = float(salt)
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    salt = fn(params, low, salt)
+                _ = float(salt)  # everything must have executed
+                dt = time.perf_counter() - t0
         else:
             from tulip_tpu.train.step import (init_train_state, make_optimizer,
                                               make_train_step)
@@ -110,18 +136,40 @@ def main():
             # consumes them (donate_argnums), deleting the shared originals
             params_copy = jax.tree_util.tree_map(jnp.array, params)
             state = init_train_state(params_copy, tx)
-            step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
             key = jax.random.PRNGKey(0)
-            state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
-            _ = float(tl)   # host read: block_until_ready is unreliable here
-            for _ in range(args.warmup):
+            if args.dispatch == "scan":
+                step = make_train_step(model, tx, compute_dtype=jnp.bfloat16,
+                                       donate=False)
+
+                def steps_many(st, lo, hi, K):
+                    def body(s, _):
+                        s, (tl, _pl) = step(s, lo, hi, np.float32(1e-4), key)
+                        return s, tl
+                    st, tls = jax.lax.scan(body, st, None, length=K)
+                    return st, tls[-1]
+                steps_many = jax.jit(steps_many, static_argnums=3,
+                                     donate_argnums=0)
+                state, tl = steps_many(state, low, high, max(args.warmup, 1))
+                _ = float(tl)
+                dt = None
+                for _rep in range(max(args.reps, 1)):
+                    t0 = time.perf_counter()
+                    state, tl = steps_many(state, low, high, args.iters)
+                    _ = float(tl)
+                    rep_dt = time.perf_counter() - t0
+                    dt = rep_dt if dt is None else min(dt, rep_dt)
+            else:
+                step = make_train_step(model, tx, compute_dtype=jnp.bfloat16)
                 state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
-            _ = float(tl)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
-            _ = float(tl)
-            dt = time.perf_counter() - t0
+                _ = float(tl)   # host read: block_until_ready is unreliable
+                for _ in range(args.warmup):
+                    state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
+                _ = float(tl)
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    state, (tl, _) = step(state, low, high, np.float32(1e-4), key)
+                _ = float(tl)
+                dt = time.perf_counter() - t0
 
         ips = B * args.iters / dt
         if args.verbose:

@@ -94,6 +94,79 @@ def _kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[0] = out.astype(x.dtype).reshape(BG, GL, C)
 
 
+def _kernel_masked(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                   wv_ref, bv_ref, wproj_ref, bproj_ref, bias_ref, gmask_ref,
+                   o_ref, *, nh: int, scale: float, mask_per_group: bool,
+                   fuse_ln: bool, residual: bool, eps: float):
+    """Masked-head core: no lane-dim head slicing, no stacks/concats, no
+    tile/repeat of bias or mask.
+
+    Per-head logits are computed as (q ⊙ m_h) @ kᵀ over the FULL channel
+    width — q's columns outside head h are zeroed, so cross-head products
+    vanish exactly (adding fp zeros is exact; numerics identical to the
+    peel core).  PV is accumulated as Σ_h pr_h @ (v ⊙ m_h): head h's
+    output lands in its own column block, zeros elsewhere.  This trades
+    nh× the (tiny) attention-matmul FLOPs for the removal of every
+    unaligned VREG relayout the peel core pays: ~3·BG·nh lane slices,
+    2 stacks, BG concats, and ~BG·nh·GL·GL fp32 of bias/mask tiling per
+    grid step (the dominant VPU cost at stage 0 per the r3 trace:
+    1.44 ms/call vs a 0.13 ms HBM roofline).  Only used where nh is
+    small (see _MASKED_NH_MAX); deep stages keep the peel core, whose
+    per-head FLOPs advantage matters when nh·C is large."""
+    BG, GL, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    hd = C // nh
+
+    x = x_ref[0].reshape(BG * GL, C)                          # bf16
+    if fuse_ln:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        xn = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        xn = (xn * lnw_ref[0].astype(jnp.float32)
+              + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+    else:
+        xn = x
+
+    def proj(w_ref, b_ref):
+        y = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+        y = (y + b_ref[0].astype(jnp.float32)).astype(x.dtype)
+        return y.reshape(BG, GL, C)
+
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+
+    sm_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (BG, GL, C), 2) // hd
+
+    acc = jnp.zeros((BG, GL, C), jnp.float32)
+    for h in range(nh):
+        qm = jnp.where(head_of_col == h, q, jnp.zeros((), q.dtype))
+        attn = jax.lax.dot_general(
+            qm, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # (BG, GL, GL)
+        attn = attn.astype(sm_t) * jnp.asarray(scale, sm_t) \
+            + bias_ref[h].astype(sm_t)                        # bcast over BG
+        if mask_per_group:
+            attn = attn + gmask_ref[:].astype(sm_t)
+        else:
+            attn = attn + gmask_ref[0][None].astype(sm_t)
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        e = jnp.exp(attn)
+        pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        vm = jnp.where(head_of_col == h, v, jnp.zeros((), v.dtype))
+        acc = acc + jax.lax.dot_general(
+            pr, vm, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # (BG, GL, C)
+
+    out = acc.astype(x.dtype).reshape(BG * GL, C)
+    out = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[0].astype(jnp.float32)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    o_ref[0] = out.astype(x.dtype).reshape(BG, GL, C)
+
+
 def _kernel_nat(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, bias_ref, gmask_ref, o_ref, *, nh: int,
                 scale: float, mask_per_group: bool, fuse_ln: bool,
@@ -244,6 +317,80 @@ def fused_window_msa_nat(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
     )(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat, gmask_nat)
 
 
+def _use_masked(nh: int) -> bool:
+    """Masked-head core cutover: heads cost nh× the attention-matmul FLOPs
+    but zero VREG relayouts.  Profitable while nh is small (stages 0-1 carry
+    ~all the runtime); override with TULIP_TPU_MSA_MASKED=0 (off) or =N
+    (use for nh <= N)."""
+    import os
+    raw = os.environ.get("TULIP_TPU_MSA_MASKED", "")
+    if raw == "":
+        return nh <= 8
+    return nh <= int(raw)
+
+
+def _masked_call(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big, gmask, *,
+                 nh, scale, eps, residual, interpret):
+    B, nG, GL, C = xg.shape
+    mask_per_group = gmask.shape[0] != 1
+    # weight/bias head splits happen here in XLA (hoisted, one-time) so the
+    # kernel never lane-slices activations or weights
+    wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
+    bq, bk, bv = bqkv[:, :C], bqkv[:, C:2 * C], bqkv[:, 2 * C:]
+
+    # per-step VMEM: q/k/v + acc + io + one head's logits at a time (the
+    # peel core holds all nh heads' logits at once) -> bigger BG fits
+    sm_bytes = 4 if xg.dtype == jnp.float32 else 2
+    per_group = (3 * GL * C * (4 + 2)      # q/k/v fp32 accum + bf16
+                 + GL * C * 4              # PV accumulator
+                 + GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs (1 head)
+                 + 2 * GL * C * 2          # io tiles
+                 + GL * C * 4)             # slack (masked copies)
+    budget = 10 * 1024 * 1024
+    BG = max(1, min(nG, budget // per_group, 32))
+    while nG % BG:
+        BG -= 1
+
+    grid = (B, nG // BG)
+    fuse_ln = lnw is not None
+    if not fuse_ln:
+        lnw = jnp.zeros((1, C), xg.dtype)
+        lnb = jnp.zeros((1, C), xg.dtype)
+    kernel = functools.partial(
+        _kernel_masked, nh=nh, scale=scale,
+        mask_per_group=mask_per_group, fuse_ln=fuse_ln,
+        residual=fuse_ln if residual is None else residual, eps=eps)
+    if mask_per_group:
+        gmask_spec = pl.BlockSpec((BG, GL, GL), lambda i, j: (j, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        gmask_spec = pl.BlockSpec((1, GL, GL), lambda i, j: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((C, C), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((1, BG, GL, C), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            io_spec, vec_spec, vec_spec,
+            mat_spec, vec_spec,           # wq, bq
+            mat_spec, vec_spec,           # wk, bk
+            mat_spec, vec_spec,           # wv, bv
+            mat_spec, vec_spec,           # wproj, bproj
+            pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            gmask_spec,
+        ],
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct(xg.shape, xg.dtype),
+        interpret=interpret,
+    )(xg, lnw, lnb, wq, bq, wk, bk, wv, bv, wproj, bproj, bias_big, gmask)
+
+
 @functools.partial(jax.jit, static_argnames=("nh", "scale_inv_sqrt_hd",
                                              "interpret", "eps", "residual"))
 def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
@@ -265,6 +412,11 @@ def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
     B, nG, GL, C = xg.shape
     mask_per_group = gmask.shape[0] != 1
     interpret = interpret or jax.default_backend() == "cpu"
+
+    if _use_masked(nh):
+        return _masked_call(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
+                            gmask, nh=nh, scale=scale_inv_sqrt_hd, eps=eps,
+                            residual=residual, interpret=interpret)
 
     # groups per grid step: big enough that grid-step overhead amortizes,
     # bounded by an explicit per-step VMEM estimate (fp32 qkv intermediate,
