@@ -26,12 +26,15 @@ def get_chamfer_impl(name: str = None):
         try:
             from .pallas import chamfer as _pc  # noqa: F401
             from .pallas import chamfer_h as _pch  # noqa: F401
-            if name == "auto" and "pallas" in _CHAMFER_IMPLS:
+            if name == "auto" and "pallas_h" in _CHAMFER_IMPLS:
                 import jax
                 if jax.default_backend() not in ("cpu",):
-                    # hierarchical impl is exact and skips far tile pairs;
-                    # brute force stays selectable via --chamfer_impl pallas
-                    return _CHAMFER_IMPLS["pallas"]
+                    # hierarchical impl is exact (identical sums to brute
+                    # force) and measured 2.1x faster on scene clouds and
+                    # 2.5x on uniform clouds on v5e (255/220 ms vs 547 ms
+                    # per direction at 262k x 262k, r3 checklist); brute
+                    # force stays selectable via --chamfer_impl pallas
+                    return _CHAMFER_IMPLS["pallas_h"]
         except Exception:
             pass
         return _CHAMFER_IMPLS["xla"]
