@@ -1,9 +1,12 @@
 #!/bin/bash
-# Ordered measurement plan for the moment the TPU tunnel is back
-# (round-2 perf items: VERDICT.md #3 train throughput, #10 e2e IO numbers).
+# Standing on-chip measurement plan: run whenever kernels or the train/eval
+# paths change, and once per round so BASELINE.md numbers stay current.
 # Every step logs under $OUT and failures don't stop later steps.
+# (The round-2/3 A/B matrix lived here; measured losers — fwd-fused train
+# half-block, the MLP XLA-backward revert flag — were deleted from the
+# codebase after losing, so the matrix below only carries live knobs.)
 set -u
-OUT=${1:-/tmp/tpu_results_r2}
+OUT=${1:-/tmp/tpu_results}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
@@ -18,7 +21,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   return $rc
 }
 
-# 1. pin compiled Pallas kernels vs XLA twins (incl. new fwd-fused mode)
+# 1. pin compiled Pallas kernels vs XLA twins (Mosaic lowering, real chip)
 run smoke 1200 python scripts/tpu_smoke.py
 
 # 2. component profile, default path
@@ -28,29 +31,20 @@ run profile_default 1200 python scripts/train_profile.py --batch 16
 run trace 1200 python scripts/trace_breakdown.py --batch 16
 run trace_infer 1200 python scripts/trace_breakdown.py --batch 16 --mode eval
 
-# 4. A/B flags
-run profile_fusedfwd 1200 env TULIP_TPU_FUSED_TRAIN_FWD=1 \
-  python scripts/train_profile.py --batch 16 --parts full
-run profile_remat 1200 env TULIP_TPU_REMAT_BLOCKS=1 \
-  python scripts/train_profile.py --batch 16 --parts full
-run profile_mlpxla 1200 env TULIP_TPU_MLP_XLA_BWD=1 \
-  python scripts/train_profile.py --batch 16 --parts full
-run profile_fused_remat 1200 env TULIP_TPU_FUSED_TRAIN_FWD=1 TULIP_TPU_REMAT_BLOCKS=1 \
-  python scripts/train_profile.py --batch 16 --parts full
+# 4. live A/B knobs (wash-or-situational variants kept after measurement)
 run profile_rowexp 1200 env TULIP_TPU_ATTN_ROWEXP=1 \
   python scripts/train_profile.py --batch 16 --parts full,attn
-run profile_rowexp_fused 1200 env TULIP_TPU_ATTN_ROWEXP=1 TULIP_TPU_FUSED_TRAIN_FWD=1 \
+run profile_remat 1200 env TULIP_TPU_REMAT_BLOCKS=1 \
   python scripts/train_profile.py --batch 16 --parts full
 
-# 5. headline numbers (batch sweep)
+# 5. headline numbers (batch sweep; bench.py autotunes the live variants)
 run bench_train 2400 python bench.py --mode train --verbose
 run bench_infer 2400 python bench.py --verbose
-run bench_infer_nat 2400 env TULIP_TPU_MSA_NAT=1 python bench.py --verbose
 
-# 6. e2e with real file IO (VERDICT item 10)
+# 6. e2e with real file IO
 run e2e_io 2400 python scripts/e2e_io_bench.py --frames 256 --batch 16
 
-# 7. eval / MC-dropout sweep throughput (VERDICT item 5)
+# 7. eval / MC-dropout sweep throughput (graded configs #4/#5)
 run eval_sweep 3600 python scripts/eval_bench.py --samples 32
 
 # 8. chamfer kernels (brute vs hierarchical, scene + uniform clouds)

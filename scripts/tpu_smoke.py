@@ -118,36 +118,6 @@ def main() -> int:
     print(f"SMOKE_OK train grads[pallas vs grouped]: worst rel "
           f"max|d|={worst[1]:.3e} ({worst[0]})")
 
-    # --- 2b. fwd-fused training half-block (TULIP_TPU_FUSED_TRAIN_FWD=1):
-    # fused window_msa forward (fuse_ln, residual=False — a mode only this
-    # path compiles) + natural-layout recompute backward ------------------
-    os.environ["TULIP_TPU_FUSED_TRAIN_FWD"] = "1"
-    try:
-        def loss_fused(p, lo, hi, m=models["pallas"]):
-            pred, total, _ = apply_model(p, m, lo, hi, mode="train",
-                                         rng=jax.random.PRNGKey(7),
-                                         compute_dtype=jnp.bfloat16)
-            return total
-
-        val_f, grad_f = jax.jit(jax.value_and_grad(loss_fused))(
-            params, low, high)
-        lf = abs(float(val_f) - losses["grouped"]) / max(
-            abs(losses["grouped"]), 1e-6)
-        assert lf < 0.01, (float(val_f), losses["grouped"], lf)
-        worst_f = (None, 0.0)
-        for k in grads["grouped"]:
-            a = np.asarray(grads["grouped"][k], np.float32)
-            b = np.asarray(grad_f[k], np.float32)
-            s = max(float(np.abs(a).max()), 1e-5)
-            d = float(np.abs(a - b).max()) / s
-            if d > worst_f[1]:
-                worst_f = (k, d)
-        assert worst_f[1] < 0.15, worst_f   # extra fwd-layout rounding
-        print(f"SMOKE_OK train fwd-fused[vs grouped]: loss rel d={lf:.3e}, "
-              f"worst grad rel max|d|={worst_f[1]:.3e} ({worst_f[0]})")
-    finally:
-        del os.environ["TULIP_TPU_FUSED_TRAIN_FWD"]
-
     # --- 2c. row-expanded attention core (TULIP_TPU_ATTN_ROWEXP=1):
     # same custom VJP boundary, transposed head packing + plain row softmax
     # (new Mosaic lowering — the collapse loops / row-slice bias reads) ----

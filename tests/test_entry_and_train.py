@@ -169,10 +169,7 @@ def test_perf_flag_grad_equivalence(monkeypatch):
     TULIP_TPU_REMAT_BLOCKS=1 (jax.checkpoint around each Swin block,
     models/tulip.py:_run_blocks) recomputes the identical ops in the
     backward, so gradients must match the baseline to rounding noise.
-    TULIP_TPU_MLP_XLA_BWD=1 (XLA recompute backward for the fused MLP
-    kernel, ops/pallas/mlp.py:_ftm_bwd) evaluates the same math with a
-    different engine, so gradients must agree within bf16 tolerance.
-    Run on the bf16 pallas training path — the regime the flags are
+    Run on the bf16 pallas training path — the regime the flag is
     A/B-measured in on the chip."""
     cfg = model_config('tulip_base', img_size=(16, 256),
                        target_img_size=(64, 256), patch_size=(1, 4),
@@ -185,9 +182,8 @@ def test_perf_flag_grad_equivalence(monkeypatch):
     low = jnp.asarray(rng.uniform(0, 1, (2, 1, 16, 256)).astype(np.float32))
     high = jnp.asarray(rng.uniform(0, 1, (2, 1, 64, 256)).astype(np.float32))
 
-    def grads(remat, mlp_xla):
+    def grads(remat):
         monkeypatch.setenv("TULIP_TPU_REMAT_BLOCKS", "1" if remat else "0")
-        monkeypatch.setenv("TULIP_TPU_MLP_XLA_BWD", "1" if mlp_xla else "0")
 
         def loss(p):
             _, tl, _ = apply_model(p, model, low, high, mode="train",
@@ -197,7 +193,7 @@ def test_perf_flag_grad_equivalence(monkeypatch):
 
         return jax.grad(loss)(params)
 
-    g_base = grads(False, False)
+    g_base = grads(False)
 
     def check(g_other, rel, name):
         # relative to each param's own grad scale, with an absolute floor:
@@ -213,7 +209,4 @@ def test_perf_flag_grad_equivalence(monkeypatch):
 
     # remat: same ops recomputed, but refused into different XLA fusions,
     # so bf16 reductions re-round (observed ~5e-3 of grad scale on CPU)
-    check(grads(True, False), 2e-2, "remat")
-
-    # MLP backward engine swap: same math, different rounding order
-    check(grads(False, True), 5e-2, "mlp_xla_bwd")
+    check(grads(True), 2e-2, "remat")

@@ -417,142 +417,6 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
     return out
 
 
-# ---------------------------------------------------------------------------
-# Training fwd-fused half-block: fused Pallas forward, natural-layout
-# recompute backward (custom VJP).
-# ---------------------------------------------------------------------------
-
-_FUSED_HALF_ATTN_CACHE: dict = {}
-
-
-def _build_fused_half_attn(st: BlockStatic, eps: float, has_qkv_bias: bool):
-    """custom_vjp over LN1 + window MSA + proj (pre-residual, pre-drop-path).
-
-    Forward: the inference-path fused kernel (ops/pallas/window_msa.py) —
-    LN, qkv, attention, proj in one VMEM-resident pass, no HBM intermediates
-    and no saved residuals beyond the inputs.  Backward: jax.vjp of the
-    natural-layout training composition (whole-tensor XLA GEMMs around the
-    attn_core custom VJP), i.e. LN/qkv/attention-probs are RECOMPUTED —
-    rematerialization with a faster forward.  vs the plain attn_core path
-    this removes the per-block HBM writes+reads of the saved LN output, qkv
-    (3C wide) and attention output that XLA autodiff otherwise keeps alive
-    from forward to backward.
-
-    Gradients are numerically identical to window_attention_pallas_train
-    (same backward graph); the forward value differs only by grouped-vs-
-    natural layout rounding (bf16 ulp scale, pinned in tests).
-    """
-    from ..ops.pallas.attn_core import (attn_core, attn_core_rowexp,
-                                        natural_token_perm, rowexp_fits)
-    from ..ops.pallas.window_msa import fused_window_msa
-    rowexp = os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1"
-
-    wh, ww = st.window
-    nh = st.num_heads
-    Lw = wh * ww
-    G, GL = st.group, st.group * Lw
-    rel_flat = np.asarray(st.rel_index.reshape(-1))
-    wt = st.win_token
-    perm = natural_token_perm(wh, ww, G)
-    gmask_nat = st.group_mask[:, perm[:, None], perm[None, :]]
-
-    def bias_big(table):
-        bias = table.astype(jnp.float32)[jnp.asarray(rel_flat)]
-        bias = bias.reshape(Lw, Lw, nh).transpose(2, 0, 1)     # (nh, L, L)
-        return bias[:, jnp.asarray(wt[:, None]), jnp.asarray(wt[None, :])]
-
-    def natural_fn(x, lnw, lnb, wqkv, bqkv, wproj, bproj, table):
-        # x (B, H, W, C), already rolled.  Must match L.layer_norm/L.linear
-        # numerics exactly (same op order) — this graph IS the training
-        # backward.
-        B, H, W, C = x.shape
-        nHr = H // wh
-        hd = C // nh
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-        y = (y * lnw.astype(jnp.float32)
-             + lnb.astype(jnp.float32)).astype(x.dtype)
-        x4 = y.reshape(B * nHr, wh, W, C)
-        qkv = x4 @ wqkv.astype(x.dtype)
-        if has_qkv_bias:
-            qkv = qkv + bqkv.astype(x.dtype)
-        bb = bias_big(table)
-        bias_nat = bb[:, jnp.asarray(perm[:, None]), jnp.asarray(perm[None, :])]
-        gmask = jnp.asarray(gmask_nat, dtype=jnp.bfloat16)
-        if rowexp and rowexp_fits(GL, C, nh):
-            ao = attn_core_rowexp(qkv, bias_nat.reshape(nh * GL, GL), gmask,
-                                  nh, hd ** -0.5, nHr)
-        else:
-            bias_cat = bias_nat.transpose(1, 0, 2).reshape(GL, nh * GL)
-            ao = attn_core(qkv, bias_cat, gmask, nh, hd ** -0.5, nHr)
-        out = ao @ wproj.astype(x.dtype) + bproj.astype(x.dtype)
-        return out.reshape(B, H, W, C)
-
-    def fused_fn(x, lnw, lnb, wqkv, bqkv, wproj, bproj, table):
-        B, H, W, C = x.shape
-        nHr, nWg = H // wh, W // ww // G
-        hd = C // nh
-        d = x.dtype
-        xg = x.reshape(B, nHr, wh, nWg, G, ww, C)
-        xg = xg.transpose(0, 1, 3, 4, 2, 5, 6).reshape(B, nHr * nWg, GL, C)
-        out = fused_window_msa(
-            xg, lnw.astype(d).reshape(1, -1), lnb.astype(d).reshape(1, -1),
-            wqkv.astype(d), bqkv.astype(d).reshape(1, -1),
-            wproj.astype(d), bproj.astype(d).reshape(1, -1),
-            bias_big(table), jnp.asarray(st.group_mask),
-            nh=nh, scale_inv_sqrt_hd=hd ** -0.5, eps=eps, residual=False)
-        out = out.reshape(B, nHr, nWg, G, wh, ww, C)
-        return out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
-
-    @jax.custom_vjp
-    def half_attn(x, lnw, lnb, wqkv, bqkv, wproj, bproj, table):
-        return fused_fn(x, lnw, lnb, wqkv, bqkv, wproj, bproj, table)
-
-    def _fwd(*args):
-        return fused_fn(*args), args
-
-    def _bwd(res, g):
-        _, vjp = jax.vjp(natural_fn, *res)
-        return vjp(g)
-
-    half_attn.defvjp(_fwd, _bwd)
-    return half_attn
-
-
-def window_attention_fused_train(p: Params, prefix: str, x: jnp.ndarray,
-                                 st: BlockStatic, eps: float) -> jnp.ndarray:
-    """LN1 + window MSA with fused Pallas forward and recompute backward.
-
-    ``prefix`` is the BLOCK prefix (the boundary spans norm1 + attn).
-    Returns the pre-residual attention branch so drop-path composes outside.
-    Enabled by TULIP_TPU_FUSED_TRAIN_FWD=1 (A/B flag until measured on TPU).
-    """
-    B, H, W, C = x.shape
-    sh, sw = st.shift
-    bqkv = p.get(f"{prefix}.attn.qkv.bias")
-    has_b = bqkv is not None
-    key = (st.grid, st.window, st.shift, st.num_heads, st.group, eps, has_b,
-           os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1")
-    fn = _FUSED_HALF_ATTN_CACHE.get(key)
-    if fn is None:
-        fn = _build_fused_half_attn(st, eps, has_b)
-        _FUSED_HALF_ATTN_CACHE[key] = fn
-    if sh or sw:
-        x = roll_hw(x, -sh, -sw)
-    out = fn(x,
-             p[f"{prefix}.norm1.weight"], p[f"{prefix}.norm1.bias"],
-             p[f"{prefix}.attn.qkv.weight"],
-             bqkv if has_b else jnp.zeros((3 * C,), x.dtype),
-             p[f"{prefix}.attn.proj.weight"],
-             p[f"{prefix}.attn.proj.bias"],
-             p[f"{prefix}.attn.relative_position_bias_table"])
-    if sh or sw:
-        out = roll_hw(out, sh, sw)
-    return out
-
-
 def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
                             st: BlockStatic, eps: float) -> jnp.ndarray:
     """First half of a Swin block fully fused: x + attn(LN1(x)).
@@ -689,39 +553,30 @@ def swin_block_v1(p: Params, prefix: str, x: jnp.ndarray, st: BlockStatic, *,
 
     shortcut = x
     if (attn_impl == "pallas" and x.dtype == jnp.bfloat16
-            and not (dropout_active and (drop > 0.0 or attn_drop > 0.0))
-            and os.environ.get("TULIP_TPU_FUSED_TRAIN_FWD") == "1"):
-        # fwd-fused half-block (LN1 folded into the kernel); burn the attn
-        # rng split so every impl consumes the same number of splits per
-        # block (see the MLP-branch comment below)
-        next_rng()
-        y = window_attention_fused_train(p, prefix, x, st, eps)
+            and os.environ.get("TULIP_TPU_LN_PALLAS") == "1"):
+        # Pallas LN custom VJP (ops/pallas/ln.py) — opt-in A/B flag.
+        # Measured on v5e (batch 16): the step's relayout copies are
+        # NOT caused by the XLA LN fusions (they persist with LN in
+        # Pallas), and XLA folds the LN into neighbouring fusions
+        # nearly for free, so this trades ~1.9 ms of fusions for
+        # ~3.2 ms of standalone kernels (87.1 -> 90.5 ms/step).  Kept
+        # for geometries where the LN dominates differently.
+        from ..ops.pallas.ln import layer_norm_vjp
+        B_, H_, W_, C_ = x.shape
+        y = layer_norm_vjp(
+            x.reshape(-1, C_),
+            p[f"{prefix}.norm1.weight"].reshape(1, -1),
+            p[f"{prefix}.norm1.bias"].reshape(1, -1),
+            eps).reshape(B_, H_, W_, C_)
     else:
-        if (attn_impl == "pallas" and x.dtype == jnp.bfloat16
-                and os.environ.get("TULIP_TPU_LN_PALLAS") == "1"):
-            # Pallas LN custom VJP (ops/pallas/ln.py) — opt-in A/B flag.
-            # Measured on v5e (batch 16): the step's relayout copies are
-            # NOT caused by the XLA LN fusions (they persist with LN in
-            # Pallas), and XLA folds the LN into neighbouring fusions
-            # nearly for free, so this trades ~1.9 ms of fusions for
-            # ~3.2 ms of standalone kernels (87.1 -> 90.5 ms/step).  Kept
-            # for geometries where the LN dominates differently.
-            from ..ops.pallas.ln import layer_norm_vjp
-            B_, H_, W_, C_ = x.shape
-            y = layer_norm_vjp(
-                x.reshape(-1, C_),
-                p[f"{prefix}.norm1.weight"].reshape(1, -1),
-                p[f"{prefix}.norm1.bias"].reshape(1, -1),
-                eps).reshape(B_, H_, W_, C_)
-        else:
-            y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
-        if attn_impl == "pallas":
-            attn_fn = window_attention_pallas_train
-        else:
-            attn_fn = ATTN_IMPLS[attn_impl]
-        y = attn_fn(p, f"{prefix}.attn", y, st, attn_drop=attn_drop,
-                    proj_drop=drop, rng=next_rng(),
-                    dropout_active=dropout_active)
+        y = L.layer_norm(p, f"{prefix}.norm1", x, eps)
+    if attn_impl == "pallas":
+        attn_fn = window_attention_pallas_train
+    else:
+        attn_fn = ATTN_IMPLS[attn_impl]
+    y = attn_fn(p, f"{prefix}.attn", y, st, attn_drop=attn_drop,
+                proj_drop=drop, rng=next_rng(),
+                dropout_active=dropout_active)
     y = L.drop_path(y, st.drop_path, next_rng(), droppath_active)
     x = x + y
 
