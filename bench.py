@@ -200,12 +200,12 @@ def main():
     # path): sweep batch on defaults, then re-run the best batch per
     # variant and report the winner + its configuration.
     VARIANTS = {
-        "infer": [{}, {"TULIP_TPU_MSA_NAT": "1"},
+        "infer": [{}, {"TULIP_TPU_MSA_GROUPED": "1"},
                   {"TULIP_TPU_MSA_ROWS": "1"}],
         "train": [{}, {"TULIP_TPU_ATTN_ROWEXP": "1"}],
     }[args.mode] if args.attn == "pallas" else [{}]
     _FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_ROWS",
-                  "TULIP_TPU_ATTN_ROWEXP")
+                  "TULIP_TPU_MSA_GROUPED", "TULIP_TPU_ATTN_ROWEXP")
 
     def with_flags(flags, fn):
         saved = {k: os.environ.pop(k, None) for k in _FLAG_KEYS}

@@ -457,9 +457,20 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
         p[f"{prefix}.attn.proj.bias"].astype(d).reshape(1, -1),
     )
 
-    if os.environ.get("TULIP_TPU_MSA_NAT") == "1":
-        # natural-layout kernel: row-strip reshape only, NO partition
-        # transpose; bias/mask tables permuted to natural token order
+    from ..ops.pallas.window_msa import _use_masked
+    # Natural-layout path: row-strip reshape only, NO partition transpose
+    # (saves ~730 MB/step of HBM copies at batch 16, r3 trace).  Default
+    # wherever the masked-head core applies (small nh — where the nat
+    # kernel matches the grouped kernel's in-VMEM speed); the deep peel
+    # stages keep the grouped layout, whose transposes are cheap there.
+    # TULIP_TPU_MSA_NAT=1 forces nat everywhere, TULIP_TPU_MSA_GROUPED=1
+    # forces the grouped layout everywhere (A/B revert).
+    use_nat = (os.environ.get("TULIP_TPU_MSA_NAT") == "1"
+               or (os.environ.get("TULIP_TPU_MSA_GROUPED") != "1"
+                   and os.environ.get("TULIP_TPU_MSA_ROWS") != "1"
+                   and _use_masked(nh)))
+    if use_nat:
+        # bias/mask tables permuted to natural token order
         from ..ops.pallas.attn_core import natural_token_perm
         perm = natural_token_perm(wh, ww, G)
         bias_nat = bias_big[:, jnp.asarray(perm[:, None]),

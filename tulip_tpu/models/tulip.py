@@ -234,7 +234,11 @@ def _patch_embed(p: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
 def _patch_merging(p: Params, prefix: str, x: jnp.ndarray, swin_v2: bool,
                    eps: float) -> jnp.ndarray:
     """2x2 space-to-depth + linear 4C->2C.  Concat order (0,0),(1,0),(0,1),(1,1)
-    (reference: tulip.py:92-99 / swin_transformer_v2.py:361-365)."""
+    (reference: tulip.py:92-99 / swin_transformer_v2.py:361-365).
+
+    A fused Pallas space-to-depth+LN+reduction kernel was A/B-tested on-chip
+    in round 3 and measured a wash vs this XLA composition (712.0 vs 713.1
+    img/s at batch 16) — deleted per the delete-losers policy."""
     B, H, W, C = x.shape
     if H % 2 or W % 2:
         x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))

@@ -250,6 +250,85 @@ def _kernel_masked_rows(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     o_ref[0] = out.astype(x.dtype).reshape(BG, GL, C)
 
 
+def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                       bk_ref, wv_ref, bv_ref, wproj_ref, bproj_ref, bias_ref,
+                       gmask_ref, o_ref, *, nh: int, scale: float,
+                       mask_per_group: bool, fuse_ln: bool, residual: bool,
+                       eps: float, RB: int, BWg: int, wh: int, Gww: int):
+    """Natural-layout masked-head core: the masked-head math of
+    _kernel_masked on contiguous (RB, wh, BWg*Gww, C) row-strip tiles — the
+    partition "transpose" happens on VMEM-resident q/k/v as an outer-dim
+    transpose (a static register renaming in Mosaic, zero data movement),
+    so the XLA-side window-partition copies of the grouped path
+    (~730 MB/step at batch 16, ~11% of device time per the r3 trace)
+    disappear entirely.  bias/mask arrive permuted to natural token order
+    (attn_core.natural_token_perm); LN/qkv/proj GEMMs run on the natural
+    flat (T, C) rows, which is layout-invariant.  RB row-strips per grid
+    step keep the per-step group count (RB*BWg) at the grouped kernel's
+    level so grid overhead matches (one strip = at most nWg groups, e.g. 8
+    at stage 0 vs the grouped kernel's 32 per step)."""
+    C = x_ref.shape[3]
+    GL = wh * Gww
+    hd = C // nh
+    NB = RB * BWg                                             # groups per step
+
+    x = x_ref[:].reshape(RB * wh * BWg * Gww, C)              # natural rows
+    if fuse_ln:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        xn = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        xn = (xn * lnw_ref[0].astype(jnp.float32)
+              + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+    else:
+        xn = x
+
+    def proj(w_ref, b_ref):
+        y = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+        y = (y + b_ref[0].astype(jnp.float32)).astype(x.dtype)
+        # rows are (s, r, g, w)-ordered; regroup to ((s, g), (r, w)) =
+        # (NB, GL, C).  Outer-dim transpose + sublane-aligned merges: free
+        # in Mosaic.
+        return (y.reshape(RB, wh, BWg, Gww, C).transpose(0, 2, 1, 3, 4)
+                .reshape(NB, GL, C))
+
+    q = proj(wq_ref, bq_ref)
+    k = proj(wk_ref, bk_ref)
+    v = proj(wv_ref, bv_ref)
+
+    sm_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (NB, GL, C), 2) // hd
+
+    acc = jnp.zeros((NB, GL, C), jnp.float32)
+    for h in range(nh):
+        qm = jnp.where(head_of_col == h, q, jnp.zeros((), q.dtype))
+        attn = jax.lax.dot_general(
+            qm, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # (NB, GL, GL)
+        attn = attn.astype(sm_t) * jnp.asarray(scale, sm_t) \
+            + bias_ref[h].astype(sm_t)                        # bcast over NB
+        if mask_per_group:
+            attn = attn + gmask_ref[:].astype(sm_t)
+        else:
+            attn = attn + gmask_ref[0][None].astype(sm_t)
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        e = jnp.exp(attn)
+        pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        vm = jnp.where(head_of_col == h, v, jnp.zeros((), v.dtype))
+        acc = acc + jax.lax.dot_general(
+            pr, vm, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # (NB, GL, C)
+
+    out = (acc.astype(x.dtype).reshape(RB, BWg, wh, Gww, C)
+           .transpose(0, 2, 1, 3, 4)
+           .reshape(RB * wh * BWg * Gww, C))                  # natural rows
+    out = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[0].astype(jnp.float32)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    o_ref[:] = out.astype(x.dtype).reshape(RB, wh, BWg * Gww, C)
+
+
 def _kernel_nat(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, bias_ref, gmask_ref, o_ref, *, nh: int,
                 scale: float, mask_per_group: bool, fuse_ln: bool,
@@ -322,6 +401,88 @@ def _kernel_nat(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[0] = out.astype(x.dtype).reshape(wh, BWg * Gww, C)
 
 
+def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
+                     gmask_nat, *, nh, scale, nH, eps, residual, interpret):
+    """pallas_call plumbing for _kernel_masked_nat (natural row-strip io)."""
+    R, wh, W, C = x4.shape
+    GL = bias_nat.shape[1]
+    Gww = GL // wh
+    nWg = W // Gww
+    mask_per_group = gmask_nat.shape[0] != 1
+    wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
+    bq, bk, bv = bqkv[:, :C], bqkv[:, C:2 * C], bqkv[:, 2 * C:]
+
+    sm_bytes = 4 if x4.dtype == jnp.float32 else 2
+    per_group = (3 * GL * C * (4 + 2)            # q/k/v fp32 accum + bf16
+                 + GL * C * 4                    # PV accumulator
+                 + GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs
+                 + 2 * GL * C * 2                # io tiles
+                 + GL * C * 4)                   # slack (masked copies)
+    budget = 10 * 1024 * 1024
+    BWg = max(1, min(nWg, budget // per_group, 32))
+    while nWg % BWg:
+        BWg -= 1
+    nWB = nWg // BWg
+
+    # Row-strips per grid step: lift the per-step group count to the grouped
+    # kernel's level (one strip is at most nWg groups — 8 at stage 0, where
+    # the grouped kernel runs 32/step).  With a per-group mask the RB strips'
+    # mask rows must be one contiguous block: requires whole-W strips
+    # (nWB == 1) and RB | nH so a block never spans two batch images.
+    RB = max(1, min(32 // BWg, budget // (per_group * BWg), R))
+    if mask_per_group and nWB != 1:
+        RB = 1
+    lim = nH if mask_per_group else R
+    while lim % RB or R % RB:
+        RB -= 1
+
+    grid = (R // RB, nWB)
+    fuse_ln = lnw is not None
+    if not fuse_ln:
+        lnw = jnp.zeros((1, C), x4.dtype)
+        lnb = jnp.zeros((1, C), x4.dtype)
+    kernel = functools.partial(
+        _kernel_masked_nat, nh=nh, scale=scale,
+        mask_per_group=mask_per_group, fuse_ln=fuse_ln,
+        residual=fuse_ln if residual is None else residual, eps=eps,
+        RB=RB, BWg=BWg, wh=wh, Gww=Gww)
+    if mask_per_group:
+        # gmask rows are (h_row, wg) row-major over (nH, nWg); grid row i
+        # covers strips [i*RB, (i+1)*RB) = h_rows [(i*RB) % nH, ...+RB)
+        # within one image, i.e. mask block (i % (nH // RB)) of size RB*nWg
+        # (nWB == 1 here, so j is always 0 and BWg == nWg).
+        nHB = nH // RB
+        gmask_spec = pl.BlockSpec((RB * BWg, GL, GL),
+                                  lambda i, j: (i % nHB, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        gmask_spec = pl.BlockSpec((1, GL, GL), lambda i, j: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((C, C), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((RB, wh, BWg * Gww, C), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            io_spec, vec_spec, vec_spec,
+            mat_spec, vec_spec,           # wq, bq
+            mat_spec, vec_spec,           # wk, bk
+            mat_spec, vec_spec,           # wv, bv
+            mat_spec, vec_spec,           # wproj, bproj
+            pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            gmask_spec,
+        ],
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct(x4.shape, x4.dtype),
+        interpret=interpret,
+    )(x4, lnw, lnb, wq, bq, wk, bk, wv, bv, wproj, bproj, bias_nat, gmask_nat)
+
+
 @functools.partial(jax.jit, static_argnames=("nh", "scale_inv_sqrt_hd", "nH",
                                              "interpret", "eps", "residual"))
 def fused_window_msa_nat(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
@@ -331,13 +492,22 @@ def fused_window_msa_nat(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
     """Natural-layout fused window MSA: x4 (R, wh, W, C) row-strips (R =
     B*nH), bias_nat (nh, GL, GL) and gmask_nat (nG or 1, GL, GL) in NATURAL
     token order (permute with attn_core.natural_token_perm).  Output in the
-    same layout — callers need only reshapes, no partition transposes."""
+    same layout — callers need only reshapes, no partition transposes.
+
+    Core selection mirrors fused_window_msa: masked-head for small nh
+    (_use_masked), lane-slice peel beyond."""
     R, wh, W, C = x4.shape
     GL = bias_nat.shape[1]
     Gww = GL // wh
     nWg = W // Gww
     mask_per_group = gmask_nat.shape[0] != 1
     interpret = interpret or jax.default_backend() == "cpu"
+
+    if _use_masked(nh):
+        return _masked_nat_call(
+            x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat, gmask_nat,
+            nh=nh, scale=scale_inv_sqrt_hd, nH=nH, eps=eps,
+            residual=residual, interpret=interpret)
 
     sm_bytes = 4 if x4.dtype == jnp.float32 else 2
     hd_ = C // nh
