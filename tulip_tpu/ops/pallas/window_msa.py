@@ -20,6 +20,7 @@ across steps.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -252,9 +253,10 @@ def _kernel_masked_rows(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
 
 def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
                        bk_ref, wv_ref, bv_ref, wproj_ref, bproj_ref, bias_ref,
-                       gmask_ref, o_ref, *, nh: int, scale: float,
+                       gmask_ref, *rest, nh: int, scale: float,
                        mask_per_group: bool, fuse_ln: bool, residual: bool,
-                       eps: float, RB: int, BWg: int, wh: int, Gww: int):
+                       eps: float, RB: int, BWg: int, wh: int, Gww: int,
+                       with_mlp: bool = False):
     """Natural-layout masked-head core: the masked-head math of
     _kernel_masked on contiguous (RB, wh, BWg*Gww, C) row-strip tiles — the
     partition "transpose" happens on VMEM-resident q/k/v as an outer-dim
@@ -419,17 +421,24 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
                  + 2 * GL * C * 2                # io tiles
                  + GL * C * 4)                   # slack (masked copies)
     budget = 10 * 1024 * 1024
-    BWg = max(1, min(nWg, budget // per_group, 32))
+    # Groups per grid step: budget-driven, NOT pinned to the grouped
+    # kernel's 32 — at stage-0 geometry a 32-group cap means a 512-step
+    # grid whose fixed per-step cost dominates (the kernel measured ~9x
+    # over both rooflines on-chip, r3).  Prefer whole-row strips
+    # (nWB == 1) so the shifted case's contiguous-mask-block constraint
+    # below still allows RB > 1.  TULIP_TPU_MSA_SMALLGRID=1 restores the
+    # 32-group cap (A/B revert).
+    max_nb = 32 if os.environ.get("TULIP_TPU_MSA_SMALLGRID") == "1" else 128
+    BWg = max(1, min(nWg, budget // per_group, max_nb))
     while nWg % BWg:
         BWg -= 1
     nWB = nWg // BWg
 
-    # Row-strips per grid step: lift the per-step group count to the grouped
-    # kernel's level (one strip is at most nWg groups — 8 at stage 0, where
-    # the grouped kernel runs 32/step).  With a per-group mask the RB strips'
-    # mask rows must be one contiguous block: requires whole-W strips
+    # Row-strips per grid step.  With a per-group mask the RB strips' mask
+    # rows must be one contiguous block: requires whole-W strips
     # (nWB == 1) and RB | nH so a block never spans two batch images.
-    RB = max(1, min(32 // BWg, budget // (per_group * BWg), R))
+    RB = max(1, min(max(1, max_nb // BWg),
+                    budget // (per_group * BWg), R))
     if mask_per_group and nWB != 1:
         RB = 1
     lim = nH if mask_per_group else R
