@@ -108,7 +108,10 @@ def main():
                     return s
                 fn_many = jax.jit(fn_many, static_argnums=3)
                 salt = jnp.zeros((), jnp.float32)
-                _ = float(fn_many(params, low, salt, max(args.warmup, 1)))
+                # warm up with the SAME static K as the timed reps — K is a
+                # static arg, so a different warmup length would leave the
+                # full iters-length compile inside the first timed rep
+                _ = float(fn_many(params, low, salt, args.iters))
                 dt = None
                 for _rep in range(max(args.reps, 1)):
                     t0 = time.perf_counter()
@@ -149,7 +152,8 @@ def main():
                     return st, tls[-1]
                 steps_many = jax.jit(steps_many, static_argnums=3,
                                      donate_argnums=0)
-                state, tl = steps_many(state, low, high, max(args.warmup, 1))
+                # same static K as the timed reps (see infer path)
+                state, tl = steps_many(state, low, high, args.iters)
                 _ = float(tl)
                 dt = None
                 for _rep in range(max(args.reps, 1)):
@@ -177,12 +181,15 @@ def main():
                   file=sys.stderr)
         return ips
 
+    last_exc = [None]
+
     def sweep_batches():
         best, best_b = 0.0, 0
         for B in (1, 2, 4, 8, 16, 32):
             try:
                 ips = bench_batch(B)
             except Exception as e:
+                last_exc[0] = e
                 if args.verbose:
                     print(f"  batch {B}: failed ({type(e).__name__}: "
                           f"{str(e)[:300]})", file=sys.stderr)
@@ -201,15 +208,20 @@ def main():
     # variant and report the winner + its configuration.
     VARIANTS = {
         "infer": [{}, {"TULIP_TPU_MSA_GROUPED": "1"},
-                  {"TULIP_TPU_MSA_ROWS": "1"}],
-        "train": [{}, {"TULIP_TPU_ATTN_ROWEXP": "1"}],
+                  {"TULIP_TPU_MSA_SMALLGRID": "1"}],
+        "train": [{}],
     }[args.mode] if args.attn == "pallas" else [{}]
-    _FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_ROWS",
-                  "TULIP_TPU_MSA_GROUPED", "TULIP_TPU_ATTN_ROWEXP")
+    _FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_GROUPED",
+                  "TULIP_TPU_MSA_SMALLGRID")
 
     def with_flags(flags, fn):
         saved = {k: os.environ.pop(k, None) for k in _FLAG_KEYS}
         os.environ.update(flags)
+        # the flags are read at TRACE time by module-level-jitted kernels
+        # with identical avals across variants — without busting the jit
+        # cache each variant would silently re-measure the first one's
+        # compiled kernel
+        jax.clear_caches()
         try:
             return fn()
         finally:
@@ -237,6 +249,16 @@ def main():
             print(f"  variant {flags}: {ips:.1f} img/s", file=sys.stderr)
         if ips > best:
             best, best_flags = ips, dict(flags)
+
+    if best <= 0.0:
+        # a graded artifact must never encode total failure as a number:
+        # an all-fail sweep exits nonzero with the captured exception
+        if last_exc[0] is not None:
+            import traceback
+            traceback.print_exception(last_exc[0], file=sys.stderr)
+        print("FATAL: every benchmark attempt failed; refusing to print a "
+              "pass-shaped zero", file=sys.stderr)
+        sys.exit(1)
 
     value = best / n_chips
 

@@ -21,8 +21,16 @@ run() {  # run <name> <timeout_s> <cmd...>
   return $rc
 }
 
-# 1. pin compiled Pallas kernels vs XLA twins (Mosaic lowering, real chip)
+# 1. pin compiled Pallas kernels vs XLA twins (Mosaic lowering, real chip).
+# HARD GATE: nothing below (especially the graded bench) runs unless the
+# smoke printed SMOKE_PASS — a Mosaic-lowering regression must fail loudly
+# here, not be laundered into a bench number.
 run smoke 1200 python scripts/tpu_smoke.py
+if ! grep -q SMOKE_PASS "$OUT/smoke.log"; then
+  echo "FATAL: tpu_smoke.py did not print SMOKE_PASS — aborting checklist" \
+    | tee -a "$OUT/summary.log"
+  exit 1
+fi
 
 # 2. component profile, default path
 run profile_default 1200 python scripts/train_profile.py --batch 16
@@ -32,8 +40,6 @@ run trace 1200 python scripts/trace_breakdown.py --batch 16
 run trace_infer 1200 python scripts/trace_breakdown.py --batch 16 --mode eval
 
 # 4. live A/B knobs (wash-or-situational variants kept after measurement)
-run profile_rowexp 1200 env TULIP_TPU_ATTN_ROWEXP=1 \
-  python scripts/train_profile.py --batch 16 --parts full,attn
 run profile_remat 1200 env TULIP_TPU_REMAT_BLOCKS=1 \
   python scripts/train_profile.py --batch 16 --parts full
 

@@ -118,37 +118,7 @@ def main() -> int:
     print(f"SMOKE_OK train grads[pallas vs grouped]: worst rel "
           f"max|d|={worst[1]:.3e} ({worst[0]})")
 
-    # --- 2c. row-expanded attention core (TULIP_TPU_ATTN_ROWEXP=1):
-    # same custom VJP boundary, transposed head packing + plain row softmax
-    # (new Mosaic lowering — the collapse loops / row-slice bias reads) ----
-    os.environ["TULIP_TPU_ATTN_ROWEXP"] = "1"
-    try:
-        def loss_rowexp(p, lo, hi, m=models["pallas"]):
-            pred, total, _ = apply_model(p, m, lo, hi, mode="train",
-                                         rng=jax.random.PRNGKey(7),
-                                         compute_dtype=jnp.bfloat16)
-            return total
-
-        val_r, grad_r = jax.jit(jax.value_and_grad(loss_rowexp))(
-            params, low, high)
-        lr = abs(float(val_r) - losses["grouped"]) / max(
-            abs(losses["grouped"]), 1e-6)
-        assert lr < 0.01, (float(val_r), losses["grouped"], lr)
-        worst_r = (None, 0.0)
-        for k in grads["grouped"]:
-            a = np.asarray(grads["grouped"][k], np.float32)
-            b = np.asarray(grad_r[k], np.float32)
-            s = max(float(np.abs(a).max()), 1e-5)
-            d = float(np.abs(a - b).max()) / s
-            if d > worst_r[1]:
-                worst_r = (k, d)
-        assert worst_r[1] < 0.10, worst_r
-        print(f"SMOKE_OK train rowexp[vs grouped]: loss rel d={lr:.3e}, "
-              f"worst grad rel max|d|={worst_r[1]:.3e} ({worst_r[0]})")
-    finally:
-        del os.environ["TULIP_TPU_ATTN_ROWEXP"]
-
-    # --- 2d. Pallas LayerNorm custom VJP (the train path's layout anchor,
+    # --- 2c. Pallas LayerNorm custom VJP (the train path's layout anchor,
     # ops/pallas/ln.py) — pin fwd + grads compiled, standalone ------------
     from tulip_tpu.models import layers as Lx
     from tulip_tpu.ops.pallas.ln import layer_norm_vjp

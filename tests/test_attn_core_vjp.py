@@ -152,90 +152,6 @@ def test_core_grads_match_xla(per_group_mask, nh, C):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("per_group_mask", [False, True])
-@pytest.mark.parametrize("nh,C", [(3, 96), (4, 128)])
-def test_core_rowexp_matches_baseline(per_group_mask, nh, C):
-    """attn_core_rowexp (row-expanded head packing, bias layout
-    (nh*GL, GL)) must match attn_core — forward and all gradients,
-    including the bias cotangent mapped between the two concat layouts."""
-    from tulip_tpu.ops.pallas.attn_core import attn_core_rowexp
-
-    wh, ww, G = 2, 8, 8
-    R, nWg, nH = 2, 2, 2
-    qkv4, bias, perm, gmask_grp, gmask_nat = _nat_inputs(
-        4, R, nWg, wh, ww, G, C, nh, per_group_mask, nH)
-    scale = (C // nh) ** -0.5
-    GL = len(perm)
-    cot = jnp.asarray(np.random.default_rng(5).standard_normal(
-        qkv4.shape[:3] + (C,)).astype(np.float32))
-
-    def loss_col(qkv4, bias):
-        bias_nat = bias[:, jnp.asarray(perm[:, None]),
-                        jnp.asarray(perm[None, :])]
-        bias_cat = bias_nat.transpose(1, 0, 2).reshape(GL, nh * GL)
-        return jnp.sum(attn_core(qkv4, bias_cat, gmask_nat, nh, scale, nH)
-                       * cot)
-
-    def loss_row(qkv4, bias):
-        bias_nat = bias[:, jnp.asarray(perm[:, None]),
-                        jnp.asarray(perm[None, :])]
-        bias_rows = bias_nat.reshape(nh * GL, GL)
-        return jnp.sum(attn_core_rowexp(qkv4, bias_rows, gmask_nat, nh,
-                                        scale, nH) * cot)
-
-    out_c = attn_core(
-        qkv4,
-        jnp.asarray(np.asarray(bias)[:, perm[:, None], perm[None, :]]
-                    .transpose(1, 0, 2).reshape(GL, nh * GL)),
-        gmask_nat, nh, scale, nH)
-    out_r = attn_core_rowexp(
-        qkv4,
-        jnp.asarray(np.asarray(bias)[:, perm[:, None], perm[None, :]]
-                    .reshape(nh * GL, GL)),
-        gmask_nat, nh, scale, nH)
-    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_c),
-                               rtol=1e-5, atol=1e-5)
-
-    (gq_c, gb_c) = jax.grad(loss_col, argnums=(0, 1))(qkv4, bias)
-    (gq_r, gb_r) = jax.grad(loss_row, argnums=(0, 1))(qkv4, bias)
-    np.testing.assert_allclose(np.asarray(gq_r), np.asarray(gq_c),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gb_r), np.asarray(gb_c),
-                               rtol=1e-4, atol=1e-5)
-
-
-def test_block_train_grads_rowexp_flag(monkeypatch):
-    """TULIP_TPU_ATTN_ROWEXP=1 must not change swin-block training
-    semantics: forward and grads match the default pallas path (fp32,
-    shifted + unshifted variants exercise both mask shapes)."""
-    cfg = model_config("tulip_base", img_size=(8, 128),
-                       target_img_size=(32, 128), patch_size=(1, 4),
-                       window_size=(2, 8))
-    stage = cfg.encoder_stages[0]
-    rng = np.random.default_rng(11)
-    C, nh = stage.dim, stage.num_heads
-    table_len = (2 * cfg.window_size[0] - 1) * (2 * cfg.window_size[1] - 1)
-    params = _block_params(rng, C, nh, table_len)
-    x = jnp.asarray(rng.standard_normal((2, *stage.grid, C)).astype(np.float32))
-
-    for block_idx in (0, 1):
-        st = S.make_block_static(stage, block_idx, cfg.window_size)
-
-        def loss(p, rowexp):
-            monkeypatch.setenv("TULIP_TPU_ATTN_ROWEXP",
-                               "1" if rowexp else "0")
-            y = S.swin_block_v1(p, "blk", x, st, eps=1e-6,
-                                attn_impl="pallas")
-            return jnp.sum(y ** 2)
-
-        g_base = jax.grad(lambda p: loss(p, False))(params)
-        g_row = jax.grad(lambda p: loss(p, True))(params)
-        for key in params:
-            np.testing.assert_allclose(
-                np.asarray(g_row[key]), np.asarray(g_base[key]),
-                rtol=1e-4, atol=1e-5, err_msg=f"{block_idx}:{key}")
-
-
 def test_block_train_grads_pallas_vs_grouped():
     """Full swin-block training gradients (drop-path inactive rates, fp32):
     attn_impl='pallas' (attention-core VJP) vs 'grouped' (XLA autodiff)."""

@@ -1,8 +1,7 @@
 """Kernel-level pinning of the masked-head inference MSA cores against the
 head-peel core (ops/pallas/window_msa.py): per-head logits via
 (q * mask_h) @ k^T over full channel width must be EXACT — cross-head
-products are fp zeros, so accumulation order is unchanged.  The row-stacked
-variant additionally collapses the nh per-head dots into one big dot.
+products are fp zeros, so accumulation order is unchanged.
 
 NB: fused_window_msa is module-level-jitted and the variant flags are read
 at TRACE time, so the jit cache MUST be cleared between variants — a plain
@@ -16,9 +15,8 @@ import jax.numpy as jnp
 
 from tulip_tpu.ops.pallas import window_msa as W
 
-PEEL = {"TULIP_TPU_MSA_MASKED": "0", "TULIP_TPU_MSA_ROWS": "0"}
-MASKED = {"TULIP_TPU_MSA_MASKED": "99", "TULIP_TPU_MSA_ROWS": "0"}
-ROWS = {"TULIP_TPU_MSA_MASKED": "99", "TULIP_TPU_MSA_ROWS": "1"}
+PEEL = {"TULIP_TPU_MSA_MASKED": "0"}
+MASKED = {"TULIP_TPU_MSA_MASKED": "99"}
 
 
 def _rand_case(rng, B, nG, GL, C, nh, per_group, dtype=np.float32):
@@ -58,9 +56,7 @@ def test_masked_cores_match_peel(monkeypatch, B, nG, GL, C, nh, per_group):
     scale = 1.0 / np.sqrt(C // nh)
     peel = _run(monkeypatch, PEEL, args, nh, scale)
     masked = _run(monkeypatch, MASKED, args, nh, scale)
-    rows = _run(monkeypatch, ROWS, args, nh, scale)
     assert np.abs(peel - masked).max() < 2e-5
-    assert np.abs(peel - rows).max() < 2e-5
 
 
 def test_masked_core_bf16(monkeypatch):
@@ -72,10 +68,8 @@ def test_masked_core_bf16(monkeypatch):
     scale = 1.0 / np.sqrt(96 // 3)
     peel = _run(monkeypatch, PEEL, args, 3, scale)
     masked = _run(monkeypatch, MASKED, args, 3, scale)
-    rows = _run(monkeypatch, ROWS, args, 3, scale)
     denom = np.abs(peel).max() + 1e-6
     assert np.abs(masked - peel).max() / denom < 0.02
-    assert np.abs(rows - peel).max() / denom < 0.02
 
 
 def test_masked_cutover_env():

@@ -363,8 +363,7 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
             p, prefix, x, st, attn_drop=attn_drop, proj_drop=proj_drop,
             rng=rng, dropout_active=dropout_active)
 
-    from ..ops.pallas.attn_core import (attn_core, attn_core_rowexp,
-                                        natural_token_perm, rowexp_fits)
+    from ..ops.pallas.attn_core import attn_core, natural_token_perm
 
     B, H, W, C = x.shape
     wh, ww = st.window
@@ -400,15 +399,9 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
 
     gmask_nat = st.group_mask[:, perm[:, None], perm[None, :]]
     gmask = jnp.asarray(gmask_nat, dtype=jnp.bfloat16)
-    if (os.environ.get("TULIP_TPU_ATTN_ROWEXP") == "1"
-            and rowexp_fits(GL, C, nh)):
-        bias_row = bias_flat.reshape(GL, GL, nh).transpose(2, 0, 1)
-        out = attn_core_rowexp(qkv, bias_row.reshape(nh * GL, GL), gmask,
-                               nh, hd ** -0.5, nH)         # (R, wh, W, C)
-    else:
-        bias_cat = bias_flat.reshape(GL, GL, nh).transpose(0, 2, 1)
-        out = attn_core(qkv, bias_cat.reshape(GL, nh * GL), gmask,
-                        nh, hd ** -0.5, nH)                # (R, wh, W, C)
+    bias_cat = bias_flat.reshape(GL, GL, nh).transpose(0, 2, 1)
+    out = attn_core(qkv, bias_cat.reshape(GL, nh * GL), gmask,
+                    nh, hd ** -0.5, nH)                    # (R, wh, W, C)
     out = L.linear(p, f"{prefix}.proj", out)
 
     out = out.reshape(B, H, W, C)
@@ -467,7 +460,6 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
     # forces the grouped layout everywhere (A/B revert).
     use_nat = (os.environ.get("TULIP_TPU_MSA_NAT") == "1"
                or (os.environ.get("TULIP_TPU_MSA_GROUPED") != "1"
-                   and os.environ.get("TULIP_TPU_MSA_ROWS") != "1"
                    and _use_masked(nh)))
     if use_nat:
         # bias/mask tables permuted to natural token order

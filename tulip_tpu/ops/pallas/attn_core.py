@@ -256,167 +256,6 @@ def _bwd_kernel(qkv_ref, biasc_ref, gmask_ref, dao_ref,
             dbias_ref[:] = dbias_ref[:] + dbias
 
 
-# ---------------------------------------------------------------------------
-# Row-expanded (M-axis) head packing: the same head-block-diagonal expansion
-# applied to q (fwd) / q+dao (bwd) instead of k/v.  Logits become
-# (chunk*GL, GL) — every row is ONE complete softmax row, so the segmented
-# softmax (per-segment normalization sums, ds concat) and the dk/dv
-# expansion-collapse loops all disappear:
-#
-#     qexp = tile(q, nh) * head_mask        # (nh*GL, C)
-#     L    = qexp @ K^T + bias_rows + mask  # (nh*GL, GL): rows h*GL+s
-#     P    = row softmax (plain)            # no segments
-#     out  = collapse(P @ V)                # only collapse left in fwd
-#     dv   = P^T @ daoexp                   # direct — no collapse
-#     dk   = dL^T @ qexp                    # direct — no collapse
-#
-# bias/dbias use the transposed concat layout (nh*GL, GL).  Same matmul
-# shapes/flops as the column expansion (transposed), same VMEM budget;
-# selected via TULIP_TPU_ATTN_ROWEXP=1 until A/B-measured on the chip.
-# ---------------------------------------------------------------------------
-
-
-def _row_softmax(logits, gm_g, chunk: int, out_t):
-    """Plain per-row softmax of (chunk*GL, GL) fp32 logits + additive mask
-    (mask rows tiled per head block).  Returns (probs_out_t, probs_fp32)."""
-    gm = (jnp.concatenate([gm_g] * chunk, axis=0) if chunk > 1 else gm_g)
-    s = logits + gm
-    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-    pr32 = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-    return pr32.astype(out_t), pr32
-
-
-def _fwd_kernel_rowexp(qkv_ref, biasr_ref, gmask_ref, o_ref,
-                       *, nh: int, scale: float, mask_per_group: bool,
-                       BWg: int, wh: int, Gww: int, C: int):
-    GL = wh * Gww
-    chunks = _head_chunks(nh)
-    masks = [_chunk_mask(nh, h0, c, GL, C) for h0, c in chunks]
-    for g in range(BWg):
-        cols = slice(g * Gww, (g + 1) * Gww)
-        qkv = qkv_ref[0][:, cols, :].reshape(GL, 3 * C)
-        q = qkv[:, :C] * jnp.asarray(scale, qkv.dtype)
-        k = qkv[:, C:2 * C]
-        v = qkv[:, 2 * C:]
-        gm = gmask_ref[g if mask_per_group else 0].astype(jnp.float32)
-        out = None
-        for ci, (h0, chunk) in enumerate(chunks):
-            mask = masks[ci]
-            qexp = _expand(q, chunk, mask)                 # (cGL, C)
-            logits = jax.lax.dot_general(
-                qexp, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (cGL, GL)
-            logits = logits + biasr_ref[h0 * GL:(h0 + chunk) * GL, :]
-            pr, _ = _row_softmax(logits, gm, chunk, q.dtype)
-            ob = jax.lax.dot_general(
-                pr, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (cGL, C)
-            zero = jnp.zeros((), jnp.float32)
-            for j in range(chunk):
-                rows = slice(j * GL, (j + 1) * GL)
-                o = jnp.where(mask[rows], ob[rows], zero)
-                out = o if out is None else out + o
-        o_ref[0, :, cols, :] = out.astype(qkv.dtype).reshape(wh, Gww, C)
-
-
-def _bwd_kernel_rowexp(qkv_ref, biasr_ref, gmask_ref, dao_ref,
-                       dqkv_ref, dbias_ref,
-                       *, nh: int, scale: float, mask_per_group: bool,
-                       BWg: int, wh: int, Gww: int, C: int):
-    GL = wh * Gww
-    chunks = _head_chunks(nh)
-    masks = [_chunk_mask(nh, h0, c, GL, C) for h0, c in chunks]
-    for g in range(BWg):
-        cols = slice(g * Gww, (g + 1) * Gww)
-        qkv = qkv_ref[0][:, cols, :].reshape(GL, 3 * C)
-        q = qkv[:, :C] * jnp.asarray(scale, qkv.dtype)
-        k = qkv[:, C:2 * C]
-        v = qkv[:, 2 * C:]
-        dao = dao_ref[0][:, cols, :].reshape(GL, C)
-        gm = gmask_ref[g if mask_per_group else 0].astype(jnp.float32)
-        first_step = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-                      & (g == 0))
-        dq_acc = dk_acc = dv_acc = None
-        for ci, (h0, chunk) in enumerate(chunks):
-            mask = masks[ci]
-            qexp = _expand(q, chunk, mask)                 # (cGL, C)
-            daoexp = _expand(dao, chunk, mask)
-            logits = jax.lax.dot_general(
-                qexp, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (cGL, GL)
-            logits = logits + biasr_ref[h0 * GL:(h0 + chunk) * GL, :]
-            pr, pr32 = _row_softmax(logits, gm, chunk, qkv.dtype)
-
-            # dP = daoexp @ V^T ; dv = P^T @ daoexp (direct, no collapse)
-            dpr = jax.lax.dot_general(
-                daoexp, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (cGL, GL)
-            dv_c = jax.lax.dot_general(
-                pr, daoexp, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (GL, C)
-
-            # plain row softmax backward: dL = p*(d - rowsum(d*p))
-            t = pr32 * dpr
-            dl = t - pr32 * jnp.sum(t, axis=-1, keepdims=True)
-            # dbias is dL verbatim in the row layout: accumulate each
-            # chunk's row slice in place (no full-size concat pass)
-            brows = slice(h0 * GL, (h0 + chunk) * GL)
-
-            @pl.when(first_step)
-            def _(dl=dl, brows=brows):
-                dbias_ref[brows, :] = dl
-
-            @pl.when(jnp.logical_not(first_step))
-            def _(dl=dl, brows=brows):
-                dbias_ref[brows, :] = dbias_ref[brows, :] + dl
-
-            dl16 = dl.astype(qkv.dtype)
-
-            # dq = collapse(dL @ K) (scale applied after the chunk loop);
-            # dk = dL^T @ qexp (direct — qexp already carries the scale)
-            dq_big = jax.lax.dot_general(
-                dl16, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (cGL, C)
-            dk_c = jax.lax.dot_general(
-                dl16, qexp, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (GL, C)
-
-            zero = jnp.zeros((), jnp.float32)
-            dq_c = None
-            for j in range(chunk):
-                rows = slice(j * GL, (j + 1) * GL)
-                qb = jnp.where(mask[rows], dq_big[rows], zero)
-                dq_c = qb if dq_c is None else dq_c + qb
-
-            dq_acc = dq_c if dq_acc is None else dq_acc + dq_c
-            dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
-            dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
-
-        dq_acc = dq_acc * jnp.asarray(scale, jnp.float32)
-        dqkv = jnp.concatenate([dq_acc, dk_acc, dv_acc], axis=1)
-        dqkv_ref[0, :, cols, :] = dqkv.astype(dqkv_ref.dtype).reshape(
-            wh, Gww, 3 * C)
-
-
-def rowexp_fits(GL: int, C: int, nh: int) -> bool:
-    """Whether the row-expanded BACKWARD kernel fits scoped VMEM at BWg=1.
-
-    The row expansion multiplies the (GL, C) q/dao/dq buffers by the head
-    chunk, so at the deepest TULIP stage (GL=128, C=768, nh=24) one group
-    alone needs ~18 MB — over the 16 MB scoped-vmem stack limit (measured:
-    Mosaic AOT fails with 17.61M requested).  Callers fall back to the
-    column-expanded attn_core for such stages."""
-    chunk = _head_chunks(nh)[0][1]
-    cGL = chunk * GL
-    b = cGL * C * (2 + 2 + 4)              # qexp, daoexp (bf16), dq_big
-    b += 5 * cGL * GL * 4                  # logits, pr32, dpr, t, dl
-    b += 5 * GL * C * 4                    # dk_c, dv_c + dq/dk/dv accs
-    b += (nh // chunk) * cGL * C           # chunk masks (i8)
-    b += GL * 3 * C * 2 * 2 + GL * C * 2   # qkv in/out blocks, dao
-    b += 2 * nh * GL * GL * 4              # bias in + dbias out (fp32)
-    return b <= 15 * 1024 * 1024
-
-
 def _groups_per_step(nWg: int, GL: int, C: int, nh: int, bwd: bool) -> int:
     chunk = _head_chunks(nh)[0][1]
     # seg-buffer counts include the full-width gm tile / exp / product
@@ -432,11 +271,10 @@ def _groups_per_step(nWg: int, GL: int, C: int, nh: int, bwd: bool) -> int:
 
 
 def _call(kernel_body, qkv, bias_cat, gmask, dao, nh, scale, nH, bwd,
-          interpret, rowexp=False):
+          interpret):
     R, wh, W, C3 = qkv.shape
     C = C3 // 3
-    # bias layout: (GL, nh*GL) column-concat, or (nh*GL, GL) row-concat
-    GL = bias_cat.shape[1] if rowexp else bias_cat.shape[0]
+    GL = bias_cat.shape[0]                 # bias is (GL, nh*GL) column-concat
     Gww = GL // wh
     nWg = W // Gww
     mask_per_group = gmask.shape[0] != 1
@@ -448,7 +286,7 @@ def _call(kernel_body, qkv, bias_cat, gmask, dao, nh, scale, nH, bwd,
                             memory_space=pltpu.VMEM)
     io_spec = pl.BlockSpec((1, wh, BWg * Gww, C), lambda i, j: (i, 0, j, 0),
                            memory_space=pltpu.VMEM)
-    bias_shape = (nh * GL, GL) if rowexp else (GL, nh * GL)
+    bias_shape = (GL, nh * GL)
     biasc_spec = pl.BlockSpec(bias_shape, lambda i, j: (0, 0),
                               memory_space=pltpu.VMEM)
     if mask_per_group:
@@ -555,35 +393,3 @@ def _vjp_bwd(nh, scale, nH, res, dao):
 
 
 attn_core.defvjp(_vjp_fwd, _vjp_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def attn_core_rowexp(qkv: jnp.ndarray, bias_rows: jnp.ndarray,
-                     gmask: jnp.ndarray, nh: int, scale: float,
-                     nH: int) -> jnp.ndarray:
-    """attn_core with row-expanded head packing (see the kernel block above):
-    identical math and layouts except ``bias_rows`` is the transposed concat
-    (nh*GL, GL) — per-head (GL, GL) bias blocks stacked along rows — and the
-    bias cotangent comes back in the same layout."""
-    interpret = jax.default_backend() == "cpu"
-    return _call(_fwd_kernel_rowexp, qkv, bias_rows, gmask, None, nh, scale,
-                 nH, False, interpret, rowexp=True)
-
-
-def _vjp_fwd_rowexp(qkv, bias_rows, gmask, nh, scale, nH):
-    interpret = jax.default_backend() == "cpu"
-    ao = _call(_fwd_kernel_rowexp, qkv, bias_rows, gmask, None, nh, scale,
-               nH, False, interpret, rowexp=True)
-    return ao, (qkv, bias_rows, gmask)
-
-
-def _vjp_bwd_rowexp(nh, scale, nH, res, dao):
-    qkv, bias_rows, gmask = res
-    interpret = jax.default_backend() == "cpu"
-    dqkv, dbias = _call(_bwd_kernel_rowexp, qkv, bias_rows, gmask,
-                        dao.astype(qkv.dtype), nh, scale, nH, True,
-                        interpret, rowexp=True)
-    return dqkv, dbias.astype(bias_rows.dtype), jnp.zeros_like(gmask)
-
-
-attn_core_rowexp.defvjp(_vjp_fwd_rowexp, _vjp_bwd_rowexp)

@@ -168,95 +168,11 @@ def _kernel_masked(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     o_ref[0] = out.astype(x.dtype).reshape(BG, GL, C)
 
 
-def _kernel_masked_rows(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
-                        bk_ref, wv_ref, bv_ref, wproj_ref, bproj_ref,
-                        biasr_ref, gmask_ref, o_ref, *, nh: int, scale: float,
-                        mask_per_group: bool, fuse_ln: bool, residual: bool,
-                        eps: float):
-    """Row-stacked masked-head core: the nh per-head batched dots of
-    _kernel_masked collapse into ONE pair of big batched matmuls by
-    stacking the masked q copies along the (sublane-aligned) token axis:
-
-        qrows = concat_h(q ⊙ m_h)            # (BG, nh*GL, C)
-        L     = qrows @ kᵀ · scale + bias_rows + mask_rows
-        P     = plain row softmax            # every row is one softmax
-        pv    = P @ v                        # (BG, nh*GL, C)
-        out   = Σ_h (pv[h-block] ⊙ m_h)      # head h's cols from its block
-
-    Same FLOPs and exact numerics as _kernel_masked (cross-head terms are
-    fp zeros; each row block's PV over full v is masked back to head h's
-    columns), but M = nh·GL instead of GL per dot — better MXU row
-    utilization and nh× fewer dispatches.  bias arrives pre-reshaped
-    (nh·GL, GL) row-concat; the group mask is sublane-concatenated nh×
-    in-kernel (aligned, no lane relayout)."""
-    BG, GL, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    hd = C // nh
-
-    x = x_ref[0].reshape(BG * GL, C)                          # bf16
-    if fuse_ln:
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        xn = (x32 - mean) * jax.lax.rsqrt(var + eps)
-        xn = (xn * lnw_ref[0].astype(jnp.float32)
-              + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
-    else:
-        xn = x
-
-    def proj(w_ref, b_ref):
-        y = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
-        y = (y + b_ref[0].astype(jnp.float32)).astype(x.dtype)
-        return y.reshape(BG, GL, C)
-
-    q = proj(wq_ref, bq_ref)
-    k = proj(wk_ref, bk_ref)
-    v = proj(wv_ref, bv_ref)
-
-    sm_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (BG, GL, C), 2) // hd
-    qrows = jnp.concatenate(
-        [jnp.where(head_of_col == h, q, jnp.zeros((), q.dtype))
-         for h in range(nh)], axis=1)                         # (BG, nh*GL, C)
-
-    attn = jax.lax.dot_general(
-        qrows, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                   # (BG, nh*GL, GL)
-    attn = attn.astype(sm_t) * jnp.asarray(scale, sm_t) \
-        + biasr_ref[:][None].astype(sm_t)
-    if mask_per_group:
-        gm = gmask_ref[:]
-    else:
-        gm = gmask_ref[0][None]
-    if nh > 1:
-        gm = jnp.concatenate([gm] * nh, axis=1)               # sublane concat
-    attn = attn + gm.astype(sm_t)
-    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-    e = jnp.exp(attn)
-    pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-
-    pv = jax.lax.dot_general(
-        pr, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                   # (BG, nh*GL, C)
-    acc = jnp.zeros((BG, GL, C), jnp.float32)
-    for h in range(nh):
-        blk = pv[:, h * GL:(h + 1) * GL, :]                   # sublane slice
-        acc = acc + jnp.where(head_of_col == h, blk,
-                              jnp.zeros((), jnp.float32))
-
-    out = acc.astype(x.dtype).reshape(BG * GL, C)
-    out = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
-    out = out + bproj_ref[0].astype(jnp.float32)
-    if residual:
-        out = out + x.astype(jnp.float32)
-    o_ref[0] = out.astype(x.dtype).reshape(BG, GL, C)
-
-
 def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
                        bk_ref, wv_ref, bv_ref, wproj_ref, bproj_ref, bias_ref,
-                       gmask_ref, *rest, nh: int, scale: float,
+                       gmask_ref, o_ref, *, nh: int, scale: float,
                        mask_per_group: bool, fuse_ln: bool, residual: bool,
-                       eps: float, RB: int, BWg: int, wh: int, Gww: int,
-                       with_mlp: bool = False):
+                       eps: float, RB: int, BWg: int, wh: int, Gww: int):
     """Natural-layout masked-head core: the masked-head math of
     _kernel_masked on contiguous (RB, wh, BWg*Gww, C) row-strip tiles — the
     partition "transpose" happens on VMEM-resident q/k/v as an outer-dim
@@ -455,14 +371,21 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         mask_per_group=mask_per_group, fuse_ln=fuse_ln,
         residual=fuse_ln if residual is None else residual, eps=eps,
         RB=RB, BWg=BWg, wh=wh, Gww=Gww)
-    if mask_per_group:
+    if mask_per_group and nWB == 1:
         # gmask rows are (h_row, wg) row-major over (nH, nWg); grid row i
         # covers strips [i*RB, (i+1)*RB) = h_rows [(i*RB) % nH, ...+RB)
         # within one image, i.e. mask block (i % (nH // RB)) of size RB*nWg
-        # (nWB == 1 here, so j is always 0 and BWg == nWg).
+        # (j is always 0 and BWg == nWg here).
         nHB = nH // RB
         gmask_spec = pl.BlockSpec((RB * BWg, GL, GL),
                                   lambda i, j: (i % nHB, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    elif mask_per_group:
+        # nWB > 1 forces RB == 1 above: strip i is (image, h_row = i % nH);
+        # W-block j needs mask rows [(i % nH) * nWg + j*BWg, ...+BWg), i.e.
+        # BWg-sized block ((i % nH) * nWB + j).
+        gmask_spec = pl.BlockSpec((BWg, GL, GL),
+                                  lambda i, j: ((i % nH) * nWB + j, 0, 0),
                                   memory_space=pltpu.VMEM)
     else:
         gmask_spec = pl.BlockSpec((1, GL, GL), lambda i, j: (0, 0, 0),
@@ -591,42 +514,22 @@ def _use_masked(nh: int) -> bool:
     return nh <= int(raw)
 
 
-def _use_masked_rows() -> bool:
-    """Row-stacked masked core (one big dot per matmul role instead of nh
-    batched dots).  A/B toggle: TULIP_TPU_MSA_ROWS=0 reverts to the
-    per-head-loop masked core."""
-    import os
-    return os.environ.get("TULIP_TPU_MSA_ROWS", "0") == "1"
-
-
 def _masked_call(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big, gmask, *,
                  nh, scale, eps, residual, interpret):
     B, nG, GL, C = xg.shape
     mask_per_group = gmask.shape[0] != 1
-    rows = _use_masked_rows()
     # weight/bias head splits happen here in XLA (hoisted, one-time) so the
     # kernel never lane-slices activations or weights
     wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
     bq, bk, bv = bqkv[:, :C], bqkv[:, C:2 * C], bqkv[:, 2 * C:]
 
     sm_bytes = 4 if xg.dtype == jnp.float32 else 2
-    if rows:
-        # per-step VMEM: q/k/v + qrows stack + nh-row logits (3 fp32-ish
-        # buffers) + pv + acc + io
-        per_group = (3 * GL * C * (4 + 2)            # q/k/v fp32 accum + bf16
-                     + nh * GL * C * 2               # qrows (bf16)
-                     + nh * GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs
-                     + nh * GL * GL * sm_bytes       # tiled group mask
-                     + nh * GL * C * 4               # pv fp32
-                     + GL * C * 4                    # acc
-                     + 2 * GL * C * 2)               # io tiles
-    else:
-        # one head's logits at a time (the peel core holds all nh at once)
-        per_group = (3 * GL * C * (4 + 2)
-                     + GL * C * 4                    # PV accumulator
-                     + GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs
-                     + 2 * GL * C * 2                # io tiles
-                     + GL * C * 4)                   # slack (masked copies)
+    # one head's logits at a time (the peel core holds all nh at once)
+    per_group = (3 * GL * C * (4 + 2)
+                 + GL * C * 4                    # PV accumulator
+                 + GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs
+                 + 2 * GL * C * 2                # io tiles
+                 + GL * C * 4)                   # slack (masked copies)
     budget = 10 * 1024 * 1024
     BG = max(1, min(nG, budget // per_group, 32))
     while nG % BG:
@@ -638,7 +541,7 @@ def _masked_call(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big, gmask, *,
         lnw = jnp.zeros((1, C), xg.dtype)
         lnb = jnp.zeros((1, C), xg.dtype)
     kernel = functools.partial(
-        _kernel_masked_rows if rows else _kernel_masked, nh=nh, scale=scale,
+        _kernel_masked, nh=nh, scale=scale,
         mask_per_group=mask_per_group, fuse_ln=fuse_ln,
         residual=fuse_ln if residual is None else residual, eps=eps)
     if mask_per_group:
@@ -653,14 +556,9 @@ def _masked_call(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big, gmask, *,
                             memory_space=pltpu.VMEM)
     io_spec = pl.BlockSpec((1, BG, GL, C), lambda i, j: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)
-    if rows:
-        bias_in = bias_big.reshape(nh * GL, GL)      # row-concat (XLA, free)
-        bias_spec = pl.BlockSpec((nh * GL, GL), lambda i, j: (0, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        bias_in = bias_big
-        bias_spec = pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
-                                 memory_space=pltpu.VMEM)
+    bias_in = bias_big
+    bias_spec = pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
