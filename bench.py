@@ -207,12 +207,10 @@ def main():
     # path): sweep batch on defaults, then re-run the best batch per
     # variant and report the winner + its configuration.
     VARIANTS = {
-        "infer": [{}, {"TULIP_TPU_MSA_GROUPED": "1"},
-                  {"TULIP_TPU_MSA_SMALLGRID": "1"}],
+        "infer": [{}, {"TULIP_TPU_MSA_GROUPED": "1"}],
         "train": [{}],
     }[args.mode] if args.attn == "pallas" else [{}]
-    _FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_GROUPED",
-                  "TULIP_TPU_MSA_SMALLGRID")
+    _FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_GROUPED")
 
     def with_flags(flags, fn):
         saved = {k: os.environ.pop(k, None) for k in _FLAG_KEYS}

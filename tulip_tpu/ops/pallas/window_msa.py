@@ -342,9 +342,9 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
     # grid whose fixed per-step cost dominates (the kernel measured ~9x
     # over both rooflines on-chip, r3).  Prefer whole-row strips
     # (nWB == 1) so the shifted case's contiguous-mask-block constraint
-    # below still allows RB > 1.  TULIP_TPU_MSA_SMALLGRID=1 restores the
-    # 32-group cap (A/B revert).
-    max_nb = 32 if os.environ.get("TULIP_TPU_MSA_SMALLGRID") == "1" else 128
+    # below still allows RB > 1.  128 vs 32 measured a wash on-chip
+    # (710.1 vs 710.2 img/s, r4) — pinned at 128, A/B flag deleted.
+    max_nb = 128
     BWg = max(1, min(nWg, budget // per_group, max_nb))
     while nWg % BWg:
         BWg -= 1
