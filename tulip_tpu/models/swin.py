@@ -490,7 +490,14 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
 def fused_swin_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
                             st: BlockStatic, eps: float) -> jnp.ndarray:
     """Whole Swin block as two fused Pallas kernels (inference path):
-    x = x + attn(LN1(x)); x = x + MLP(LN2(x))."""
+    x = x + attn(LN1(x)); x = x + MLP(LN2(x)).
+
+    (A one-kernel whole-block variant — MLP chained after the masked-nat
+    attention inside the same pallas_call — was built and measured in r4:
+    691.6 vs 715.6 img/s for this composition.  The intermediate's HBM
+    round-trip is NOT the bottleneck at these geometries — the kernels are
+    VPU/softmax-bound and the in-kernel MLP GEMMs ran from a worse layout.
+    Deleted per the delete-losers policy; numbers in BASELINE.md.)"""
     from ..ops.pallas.mlp import fused_ln_mlp
 
     x = fused_half_block_pallas(p, prefix, x, st, eps)

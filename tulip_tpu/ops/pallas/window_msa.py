@@ -77,9 +77,7 @@ def _kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         attn = attn + jnp.repeat(gmask_ref[:], nh, axis=0).astype(sm_t)
     else:
         attn = attn + gmask_ref[0][None].astype(sm_t)
-    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-    e = jnp.exp(attn)
-    pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+    pr = _softmax(attn, sm_t, x.dtype)
 
     pv = jax.lax.dot_general(
         pr, v, (((2,), (1,)), ((0,), (0,))),
@@ -152,9 +150,7 @@ def _kernel_masked(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             attn = attn + gmask_ref[:].astype(sm_t)
         else:
             attn = attn + gmask_ref[0][None].astype(sm_t)
-        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-        e = jnp.exp(attn)
-        pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        pr = _softmax(attn, sm_t, x.dtype)
         vm = jnp.where(head_of_col == h, v, jnp.zeros((), v.dtype))
         acc = acc + jax.lax.dot_general(
             pr, vm, (((2,), (1,)), ((0,), (0,))),
@@ -168,38 +164,53 @@ def _kernel_masked(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     o_ref[0] = out.astype(x.dtype).reshape(BG, GL, C)
 
 
-def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
-                       bk_ref, wv_ref, bv_ref, wproj_ref, bproj_ref, bias_ref,
-                       gmask_ref, o_ref, *, nh: int, scale: float,
-                       mask_per_group: bool, fuse_ln: bool, residual: bool,
-                       eps: float, RB: int, BWg: int, wh: int, Gww: int):
-    """Natural-layout masked-head core: the masked-head math of
-    _kernel_masked on contiguous (RB, wh, BWg*Gww, C) row-strip tiles — the
-    partition "transpose" happens on VMEM-resident q/k/v as an outer-dim
-    transpose (a static register renaming in Mosaic, zero data movement),
-    so the XLA-side window-partition copies of the grouped path
-    (~730 MB/step at batch 16, ~11% of device time per the r3 trace)
-    disappear entirely.  bias/mask arrive permuted to natural token order
-    (attn_core.natural_token_perm); LN/qkv/proj GEMMs run on the natural
-    flat (T, C) rows, which is layout-invariant.  RB row-strips per grid
-    step keep the per-step group count (RB*BWg) at the grouped kernel's
-    level so grid overhead matches (one strip = at most nWg groups, e.g. 8
-    at stage 0 vs the grouped kernel's 32 per step)."""
-    C = x_ref.shape[3]
+def _softmax(attn, sm_t, out_dtype):
+    """In-kernel softmax over the last axis.
+
+    bf16 compute: clamped-softmax — exp without the max-subtraction
+    (softmax is shift-invariant, so skipping the shift is EXACT in real
+    arithmetic; bf16 exp is finite for x <= ~88 and the clamp at 40 bounds
+    it, with sums of <=128 terms <= 3e19 << bf16 max).  Saves 2 of the ~6
+    VPU passes over the logits — measured +2.2% end-to-end (r4).  The -1e9
+    mask entries exp to an exact 0.  Only pathological logits > 40 (never
+    reached by LN-bounded trained weights; parity suites sit around |x|<20)
+    would degrade, gracefully, toward uniform-over-clamped.
+
+    fp32 compute (checkpoint-parity eval): exact max-subtracted softmax.
+    """
+    if sm_t == jnp.float32:
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+    else:
+        attn = jnp.minimum(attn, jnp.asarray(40.0, sm_t))
+    e = jnp.exp(attn)
+    return (e / jnp.sum(e, axis=-1, keepdims=True)).astype(out_dtype)
+
+
+def _ln_rows(x, w_ref, b_ref, eps):
+    """fp32 LayerNorm over (T, C) rows, scaled/shifted, cast back to x.dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (xn * w_ref[0].astype(jnp.float32)
+            + b_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+
+def _masked_nat_attn(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                     wproj_ref, bproj_ref, bias_ref, gmask_ref, lnw_ref,
+                     lnb_ref, *, nh, scale, mask_per_group, fuse_ln, residual,
+                     eps, RB, BWg, wh, Gww, add_gmask=True):
+    """Shared attention body of the masked-nat kernels: natural (T, C) rows
+    in -> fp32 natural (T, C) rows out (proj output, + residual when
+    ``residual``).  ``add_gmask=False`` skips the in-kernel mask add (the
+    caller pre-folded the shared mask into the bias table — one VPU pass
+    per head per group saved on every unshifted block)."""
+    C = x.shape[1]
     GL = wh * Gww
     hd = C // nh
     NB = RB * BWg                                             # groups per step
 
-    x = x_ref[:].reshape(RB * wh * BWg * Gww, C)              # natural rows
-    if fuse_ln:
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-        xn = (x32 - mean) * jax.lax.rsqrt(var + eps)
-        xn = (xn * lnw_ref[0].astype(jnp.float32)
-              + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
-    else:
-        xn = x
+    xn = _ln_rows(x, lnw_ref, lnb_ref, eps) if fuse_ln else x
 
     def proj(w_ref, b_ref):
         y = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
@@ -225,13 +236,12 @@ def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
             preferred_element_type=jnp.float32)               # (NB, GL, GL)
         attn = attn.astype(sm_t) * jnp.asarray(scale, sm_t) \
             + bias_ref[h].astype(sm_t)                        # bcast over NB
-        if mask_per_group:
-            attn = attn + gmask_ref[:].astype(sm_t)
-        else:
-            attn = attn + gmask_ref[0][None].astype(sm_t)
-        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-        e = jnp.exp(attn)
-        pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        if add_gmask:
+            if mask_per_group:
+                attn = attn + gmask_ref[:].astype(sm_t)
+            else:
+                attn = attn + gmask_ref[0][None].astype(sm_t)
+        pr = _softmax(attn, sm_t, x.dtype)
         vm = jnp.where(head_of_col == h, v, jnp.zeros((), v.dtype))
         acc = acc + jax.lax.dot_general(
             pr, vm, (((2,), (1,)), ((0,), (0,))),
@@ -244,6 +254,34 @@ def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     out = out + bproj_ref[0].astype(jnp.float32)
     if residual:
         out = out + x.astype(jnp.float32)
+    return out                                                # fp32 (T, C)
+
+
+def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                       bk_ref, wv_ref, bv_ref, wproj_ref, bproj_ref, bias_ref,
+                       gmask_ref, o_ref, *, nh: int, scale: float,
+                       mask_per_group: bool, fuse_ln: bool, residual: bool,
+                       eps: float, RB: int, BWg: int, wh: int, Gww: int,
+                       add_gmask: bool = True):
+    """Natural-layout masked-head core: the masked-head math of
+    _kernel_masked on contiguous (RB, wh, BWg*Gww, C) row-strip tiles — the
+    partition "transpose" happens on VMEM-resident q/k/v as an outer-dim
+    transpose (a static register renaming in Mosaic, zero data movement),
+    so the XLA-side window-partition copies of the grouped path
+    (~730 MB/step at batch 16, ~11% of device time per the r3 trace)
+    disappear entirely.  bias/mask arrive permuted to natural token order
+    (attn_core.natural_token_perm); LN/qkv/proj GEMMs run on the natural
+    flat (T, C) rows, which is layout-invariant.  RB row-strips per grid
+    step keep the per-step group count (RB*BWg) at the grouped kernel's
+    level so grid overhead matches (one strip = at most nWg groups, e.g. 8
+    at stage 0 vs the grouped kernel's 32 per step)."""
+    C = x_ref.shape[3]
+    x = x_ref[:].reshape(RB * wh * BWg * Gww, C)              # natural rows
+    out = _masked_nat_attn(
+        x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wproj_ref,
+        bproj_ref, bias_ref, gmask_ref, lnw_ref, lnb_ref, nh=nh, scale=scale,
+        mask_per_group=mask_per_group, fuse_ln=fuse_ln, residual=residual,
+        eps=eps, RB=RB, BWg=BWg, wh=wh, Gww=Gww, add_gmask=add_gmask)
     o_ref[:] = out.astype(x.dtype).reshape(RB, wh, BWg * Gww, C)
 
 
@@ -300,9 +338,7 @@ def _kernel_nat(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
         attn = attn + jnp.repeat(gmask_ref[:], nh, axis=0).astype(sm_t)
     else:
         attn = attn + gmask_ref[0][None].astype(sm_t)
-    attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-    e = jnp.exp(attn)
-    pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+    pr = _softmax(attn, sm_t, x.dtype)
 
     pv = jax.lax.dot_general(
         pr, v, (((2,), (1,)), ((0,), (0,))),
@@ -327,6 +363,12 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
     Gww = GL // wh
     nWg = W // Gww
     mask_per_group = gmask_nat.shape[0] != 1
+    add_gmask = mask_per_group
+    if not mask_per_group:
+        # one shared (block-diagonal) mask: fold it into the bias table in
+        # XLA (hoisted, one-time) and skip the in-kernel add — one VPU pass
+        # per head per group saved on every unshifted block
+        bias_nat = bias_nat + gmask_nat[0][None].astype(bias_nat.dtype)
     wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
     bq, bk, bv = bqkv[:, :C], bqkv[:, C:2 * C], bqkv[:, 2 * C:]
 
@@ -370,7 +412,7 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         _kernel_masked_nat, nh=nh, scale=scale,
         mask_per_group=mask_per_group, fuse_ln=fuse_ln,
         residual=fuse_ln if residual is None else residual, eps=eps,
-        RB=RB, BWg=BWg, wh=wh, Gww=Gww)
+        RB=RB, BWg=BWg, wh=wh, Gww=Gww, add_gmask=add_gmask)
     if mask_per_group and nWB == 1:
         # gmask rows are (h_row, wg) row-major over (nH, nWg); grid row i
         # covers strips [i*RB, (i+1)*RB) = h_rows [(i*RB) % nH, ...+RB)
@@ -396,23 +438,26 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
                             memory_space=pltpu.VMEM)
     io_spec = pl.BlockSpec((RB, wh, BWg * Gww, C), lambda i, j: (i, 0, j, 0),
                            memory_space=pltpu.VMEM)
+    in_specs = [
+        io_spec, vec_spec, vec_spec,
+        mat_spec, vec_spec,           # wq, bq
+        mat_spec, vec_spec,           # wk, bk
+        mat_spec, vec_spec,           # wv, bv
+        mat_spec, vec_spec,           # wproj, bproj
+        pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        gmask_spec,
+    ]
+    operands = [x4, lnw, lnb, wq, bq, wk, bk, wv, bv, wproj, bproj,
+                bias_nat, gmask_nat]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            io_spec, vec_spec, vec_spec,
-            mat_spec, vec_spec,           # wq, bq
-            mat_spec, vec_spec,           # wk, bk
-            mat_spec, vec_spec,           # wv, bv
-            mat_spec, vec_spec,           # wproj, bproj
-            pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            gmask_spec,
-        ],
+        in_specs=in_specs,
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct(x4.shape, x4.dtype),
         interpret=interpret,
-    )(x4, lnw, lnb, wq, bq, wk, bk, wv, bv, wproj, bproj, bias_nat, gmask_nat)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "scale_inv_sqrt_hd", "nH",
