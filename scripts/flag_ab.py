@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_GROUPED",
-             "TULIP_TPU_MSA_MASKED", "TULIP_TPU_LN_PALLAS",
+             "TULIP_TPU_MSA_MASKED", "TULIP_TPU_LN_PALLAS", "TULIP_TPU_MLP_ACT",
              "TULIP_TPU_LN_XLA")
 
 
