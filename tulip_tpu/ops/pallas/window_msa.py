@@ -180,10 +180,14 @@ def _softmax(attn, sm_t, out_dtype):
     """
     if sm_t == jnp.float32:
         attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-    else:
-        attn = jnp.minimum(attn, jnp.asarray(40.0, sm_t))
+        e = jnp.exp(attn)
+        return (e / jnp.sum(e, axis=-1, keepdims=True)).astype(out_dtype)
+    attn = jnp.minimum(attn, jnp.asarray(40.0, sm_t))
     e = jnp.exp(attn)
-    return (e / jnp.sum(e, axis=-1, keepdims=True)).astype(out_dtype)
+    # reciprocal-broadcast then multiply: the division runs over the full
+    # (.., GL, GL) logits; the reciprocal only over the (.., GL, 1) sums
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    return (e * r).astype(out_dtype)
 
 
 def _ln_rows(x, w_ref, b_ref, eps):
@@ -234,8 +238,10 @@ def _masked_nat_attn(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
         attn = jax.lax.dot_general(
             qm, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)               # (NB, GL, GL)
-        attn = attn.astype(sm_t) * jnp.asarray(scale, sm_t) \
-            + bias_ref[h].astype(sm_t)                        # bcast over NB
+        attn = attn.astype(sm_t)
+        if scale != 1.0:      # callers fold scale into wq/bq (as the torch
+            attn = attn * jnp.asarray(scale, sm_t)   # reference scales q)
+        attn = attn + bias_ref[h].astype(sm_t)               # bcast over NB
         if add_gmask:
             if mask_per_group:
                 attn = attn + gmask_ref[:].astype(sm_t)
@@ -371,6 +377,12 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         bias_nat = bias_nat + gmask_nat[0][None].astype(bias_nat.dtype)
     wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
     bq, bk, bv = bqkv[:, :C], bqkv[:, C:2 * C], bqkv[:, 2 * C:]
+    # fold the attention scale into the q projection (the torch reference
+    # scales q before the dot, tulip.py:301 — same order here) and skip
+    # the in-kernel logits-scaling pass
+    wq = (wq.astype(jnp.float32) * scale).astype(wq.dtype)
+    bq = (bq.astype(jnp.float32) * scale).astype(bq.dtype)
+    scale = 1.0
 
     sm_bytes = 4 if x4.dtype == jnp.float32 else 2
     per_group = (3 * GL * C * (4 + 2)            # q/k/v fp32 accum + bf16
