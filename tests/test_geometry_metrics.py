@@ -109,6 +109,25 @@ def test_voxel_metrics_reference_semantics(reference_eval):
     assert 0 < iou <= 1
 
 
+def test_voxel_metrics_sparse_matches_dense():
+    """The engine's sparse fast path must be bit-identical to the dense
+    reference semantics at several extents/densities, incl. negative
+    coordinates and points exactly on the max corner."""
+    from tulip_tpu.eval.metrics import voxel_metrics_sparse
+    rng = np.random.default_rng(7)
+    for n, spread, noise in ((500, 3.0, 0.02), (5000, 40.0, 0.3),
+                             (50, 0.5, 0.5)):
+        pred = rng.uniform(-spread, spread, (n, 3))
+        gt = pred + rng.normal(0, noise, pred.shape)
+        pcd_all = np.vstack((pred, gt))
+        mn, mx = pcd_all.min(0), pcd_all.max(0)
+        vp = voxelize_point_cloud(pred, 0.1, mn, mx)
+        vg = voxelize_point_cloud(gt, 0.1, mn, mx)
+        dense = calculate_metrics(vp, vg)
+        sparse = voxel_metrics_sparse(pred, gt, 0.1, mn, mx)
+        assert dense == sparse
+
+
 def test_durlar_projection_is_permutation():
     """Destaggering permutes pixels; every input pixel lands exactly once."""
     img = np.random.rand(128, 2048).astype(np.float32)

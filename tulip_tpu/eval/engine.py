@@ -31,7 +31,8 @@ from ..models.tulip import TulipModel, apply_model
 from ..utils.writer import colorize_range_image, write_ply
 from .geometry import img_to_pcd_carla, img_to_pcd_durlar, img_to_pcd_kitti
 from .metrics import (calculate_metrics, chamfer_distance,
-                      chamfer_distance_async, voxelize_point_cloud)
+                      chamfer_distance_async, voxel_metrics_sparse,
+                      voxelize_point_cloud)
 
 _GATES = {  # evaluate-path gates (engine:183-188)
     "carla": (2 / 80, 1.0),
@@ -146,9 +147,11 @@ def _sample_3d_metrics(dataset, pred_img, images_high_res, images_low_res,
     pcd_all = np.vstack((pcd_pred, pcd_gt))
     min_coord = np.min(pcd_all, axis=0)
     max_coord = np.max(pcd_all, axis=0)
-    voxel_pred = voxelize_point_cloud(pcd_pred, args.grid_size, min_coord, max_coord)
-    voxel_gt = voxelize_point_cloud(pcd_gt, args.grid_size, min_coord, max_coord)
-    iou, precision, recall = calculate_metrics(voxel_pred, voxel_gt)
+    # sparse-key voxel metrics: bit-identical to the reference's dense
+    # voxelize+compare (evaluation.py:148-175) without zeroing GB-scale
+    # grids per sample (tests/test_metrics.py pins sparse == dense)
+    iou, precision, recall = voxel_metrics_sparse(
+        pcd_pred, pcd_gt, args.grid_size, min_coord, max_coord)
     f1 = 2 * (precision * recall) / (precision + recall)
     chamfer_dist = chamfer_handle()
     return loss_low_res_part, chamfer_dist, iou, precision, recall, f1, pcd_pred, pcd_gt
