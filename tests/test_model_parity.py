@@ -15,8 +15,11 @@ from tulip_tpu.config import model_config
 from tulip_tpu.models.tulip import build_model, apply_model, init_params
 from tulip_tpu.utils.checkpoint import import_torch_state_dict
 
-# multi-minute CPU-backend compiles: full-model or full-step jits
-pytestmark = pytest.mark.slow
+# The base-size configs compile in ~15 s on CPU (grouped-attn downgrade),
+# so the key-parity check and the shipped-config forward oracle run in the
+# fast lane — a bare `pytest` keeps a real model-vs-torch parity gate
+# (advisor r3: the default lane had no numerical-parity signal).  The
+# tulip_large / extra-shape variants stay slow-marked.
 
 
 def _build_pair(reference_tulip, variant, img_size, target_img_size, **flags):
@@ -78,6 +81,7 @@ def test_forward_parity_shipped_config(reference_tulip):
     _compare(ref, model, params, (32, 256))
 
 
+@pytest.mark.slow
 def test_forward_parity_default_heads(reference_tulip):
     """FinalPatchExpanding head + PatchExpanding decoder (no flags)."""
     ref, model, params = _build_pair(
@@ -87,6 +91,7 @@ def test_forward_parity_default_heads(reference_tulip):
     _compare(ref, model, params, (32, 256))
 
 
+@pytest.mark.slow
 def test_forward_parity_large(reference_tulip):
     """tulip_large: 5 stages, 48 heads at the bottleneck."""
     ref, model, params = _build_pair(
@@ -96,6 +101,7 @@ def test_forward_parity_large(reference_tulip):
     _compare(ref, model, params, (32, 512))
 
 
+@pytest.mark.slow
 def test_forward_parity_window_fallback(reference_tulip):
     """tulip_large on a 16-row input: the deepest stage grid has H=1 < 2, so
     the reference's runtime window fallback (tulip.py:284-287) fires; our
@@ -110,6 +116,7 @@ def test_forward_parity_window_fallback(reference_tulip):
     _compare(ref, model, params, (16, 1024))
 
 
+@pytest.mark.slow
 def test_forward_parity_kitti_shape(reference_tulip):
     """KITTI geometry: 16x1024 -> 64x1024 (narrow grid rows at depth)."""
     ref, model, params = _build_pair(
