@@ -66,8 +66,38 @@ def _loader(n, low_shape, high_shape, seed=0, max_range=120.0):
     return batches
 
 
+def _pretrain(model, params, low_shape, high_shape, steps, max_range):
+    """A few production train steps on synthetic pairs so the benched
+    predictions have scene structure.  Random-init + the eval range gate
+    yields an all-near-origin 262k-point pred cloud — a degenerate chamfer
+    input no real evaluation produces (trained preds track the gt scene, so
+    the hierarchical kernel's tile skipping engages), and an untested
+    extreme on-chip.  ~Steps x 80 ms of device time buys a representative
+    sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from tulip_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+    rng = np.random.default_rng(3)
+    factor = high_shape[0] // low_shape[0]
+    tx = make_optimizer(weight_decay=0.05)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    train_step = make_train_step(model, tx)
+    key = jax.random.PRNGKey(0)
+    for i in range(steps):
+        h = np.log1p(_scan_like(rng, high_shape, max_range))[None, None]
+        h = np.repeat(h, 2, axis=0)
+        l = h[:, :, ::factor, :]
+        state, _ = train_step(state, jnp.asarray(l), jnp.asarray(h),
+                              jnp.float32(1e-4), jax.random.fold_in(key, i))
+    return state.params
+
+
 def bench_config(name, dataset, low_shape, high_shape, model_name, samples,
-                 mc_iters, noise_threshold, attn_impl="pallas"):
+                 mc_iters, noise_threshold, attn_impl="pallas",
+                 pretrain_steps=48):
     import jax.numpy as jnp
 
     import jax
@@ -82,6 +112,10 @@ def bench_config(name, dataset, low_shape, high_shape, model_name, samples,
                        patch_unmerging=True, attn_impl=attn_impl)
     model = build_model(cfg)
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if pretrain_steps:
+        max_range = 120.0 if dataset == "durlar" else 80.0
+        params = _pretrain(model, params, low_shape, high_shape,
+                           pretrain_steps, max_range)
 
     with tempfile.TemporaryDirectory() as out_dir:
         args = SimpleNamespace(
@@ -123,6 +157,7 @@ def main():
                     help="comma list: durlar, kitti, kitti_large")
     ap.add_argument("--attn", default="pallas",
                     choices=["xla", "grouped", "pallas"])
+    ap.add_argument("--pretrain-steps", type=int, default=48)
     args = ap.parse_args()
 
     specs = {
@@ -135,7 +170,8 @@ def main():
     for key in args.configs.split(","):
         dataset, low, high, model_name, thr = specs[key.strip()]
         bench_config(key.strip(), dataset, low, high, model_name,
-                     args.samples, args.mc_iters, thr, attn_impl=args.attn)
+                     args.samples, args.mc_iters, thr, attn_impl=args.attn,
+                     pretrain_steps=args.pretrain_steps)
 
 
 if __name__ == "__main__":
