@@ -16,7 +16,7 @@ import numpy as np
 
 FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_GROUPED",
              "TULIP_TPU_MSA_MASKED", "TULIP_TPU_LN_PALLAS", "TULIP_TPU_MLP_ACT",
-             "TULIP_TPU_LN_XLA")
+             "TULIP_TPU_LN_XLA", "TULIP_TPU_NO_HALO")
 
 
 def main():

@@ -83,6 +83,26 @@ def main() -> int:
     finally:
         del os.environ["TULIP_TPU_MSA_NAT"]
 
+    # --- 1c. frame-threaded halo path (r4 default) vs self-contained
+    # rolls.  Bit-identical in interpret mode (tests/test_fused_infer_paths
+    # pins that); on-chip the halo assembly changes Mosaic VREG layouts, so
+    # fp32 accumulations round differently — measured 2026-08-20: 36% of
+    # outputs differ, 0.006% beyond one bf16 ulp, max 5.9e-3 at scale 0.63
+    # (inside the 7.8e-3 pallas-vs-xla envelope).  Assert a few-ulp bound.
+    os.environ["TULIP_TPU_NO_HALO"] = "1"
+    try:
+        jax.clear_caches()   # env flag is trace-time
+        fwd_nr = jax.jit(lambda p, x, m=models["pallas"]: apply_model(
+            p, m, x, None, mode="eval", mc_drop=True,
+            compute_dtype=jnp.bfloat16))
+        pred_nr = np.asarray(fwd_nr(params, low), dtype=np.float32)
+        dr = float(np.abs(pred_nr - preds["pallas"]).max())
+        assert dr < 0.02 * max(scale, 1.0), (dr, scale)
+        print(f"SMOKE_OK forward[halo vs rolls]: max|d|={dr:.3e}")
+    finally:
+        del os.environ["TULIP_TPU_NO_HALO"]
+        jax.clear_caches()
+
     # --- 2. training path: attn_core custom VJP vs grouped XLA ------------
     losses, grads = {}, {}
     for impl in ("grouped", "pallas"):

@@ -32,7 +32,17 @@ from ..utils.writer import colorize_range_image, write_ply
 from .geometry import img_to_pcd_carla, img_to_pcd_durlar, img_to_pcd_kitti
 from .metrics import (calculate_metrics, chamfer_distance,
                       chamfer_distance_async, voxel_metrics_sparse,
-                      voxelize_point_cloud)
+                      voxelize_point_cloud, warm_chamfer)
+
+
+def _warm_metrics(args, log_writer):
+    """Pre-compile the chamfer sweep at the production cloud size (see
+    metrics.warm_chamfer — avoids a remote compile landing concurrently
+    with an in-flight forward, the r4 device-hang trigger)."""
+    if log_writer is None or jax.default_backend() == "cpu":
+        return
+    h, w = tuple(args.img_size_high_res)
+    warm_chamfer(h * w)
 
 _GATES = {  # evaluate-path gates (engine:183-188)
     "carla": (2 / 80, 1.0),
@@ -141,8 +151,13 @@ def _sample_3d_metrics(dataset, pred_img, images_high_res, images_low_res,
     pcd_pred = _project(dataset, pred_img, mc)
     pcd_gt = _project(dataset, images_high_res, mc)
 
-    # dispatch the device NN sweep, voxelize on host while it runs, then read
-    chamfer_handle = chamfer_distance_async(pcd_gt, pcd_pred)
+    # dispatch the device NN sweep, voxelize on host while it runs, then
+    # read.  pad_to=H*W pins the jit shape: noise filtering varies the
+    # cloud sizes per sample, and without the fixed pad every sample would
+    # trigger a fresh (remote) compile mid-loop — the r4 stall root cause.
+    hh, ww = tuple(args.img_size_high_res)
+    chamfer_handle = chamfer_distance_async(pcd_gt, pcd_pred,
+                                            pad_to=hh * ww)
 
     pcd_all = np.vstack((pcd_pred, pcd_gt))
     min_coord = np.min(pcd_all, axis=0)
@@ -264,6 +279,7 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
         totals['precision'] += precision
         totals['recall'] += recall
 
+    _warm_metrics(args, log_writer)
     # one-sample lookahead: sample k+1's forward is dispatched before sample
     # k's host-side metrics run, overlapping host 3D metrics with device
     # compute (jax dispatch is async; only the np.asarray reads block)
@@ -389,6 +405,7 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
         totals['precision'] += precision
         totals['recall'] += recall
 
+    _warm_metrics(args, log_writer)
     # one-sample lookahead (same rationale as evaluate())
     pending = None
     for batch in tqdm.tqdm(data_loader):

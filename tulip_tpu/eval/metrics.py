@@ -40,14 +40,39 @@ def chamfer_distance(points1: np.ndarray, points2: np.ndarray,
 
 
 def chamfer_distance_async(points1, points2,
-                           num_points: Optional[int] = None):
+                           num_points: Optional[int] = None,
+                           pad_to: Optional[int] = None):
     """Dispatch the bidirectional sweep and return a () -> float handle.
 
     The eval loop uses this to overlap the host-side voxel metrics with the
-    device NN sweep (the sweep is the dominant per-sample eval cost)."""
+    device NN sweep (the sweep is the dominant per-sample eval cost).
+
+    ``pad_to``: pad BOTH clouds to this fixed size (true counts passed as
+    dynamic scalars, means masked) so every call in a loop shares ONE
+    compiled executable.  Without it, each distinct (N, M) cloud-size pair
+    is its own jit shape — and noise-threshold filtering makes every eval
+    sample a fresh pair, i.e. a fresh (remote, minutes-long on axon)
+    compile per sample: the r4 eval-stall root cause.  Eval engines pass
+    pad_to = H*W (clouds come from range images, so N, M <= H*W always)."""
     p1 = np.asarray(points1, dtype=np.float32)
     p2 = np.asarray(points2, dtype=np.float32)
-    chunk = 4096 if max(p1.shape[0], p2.shape[0]) >= 4096 else 512
+    from ..ops import get_chamfer_impl
+    # honor the impl's measured target-chunk config (pallas_h was tuned and
+    # validated on-chip at 1024 — bench_chamfer r3; 4096 was never measured
+    # for it and is the prime suspect in the r4 eval-loop device hangs)
+    pref = getattr(get_chamfer_impl(), "preferred_chunk", 4096)
+    chunk = pref if max(p1.shape[0], p2.shape[0]) >= pref else 512
+    if pad_to is not None:
+        n1, n2 = p1.shape[0], p2.shape[0]
+        P = max(pad_to, n1, n2)
+        P += (-P) % chunk
+        p1p = np.concatenate(
+            [p1, np.full((P - n1, 3), _PAD_VALUE, np.float32)], axis=0)
+        p2p = np.concatenate(
+            [p2, np.full((P - n2, 3), _PAD_VALUE, np.float32)], axis=0)
+        fn = _chamfer_pair_fn_masked(chunk, num_points, P)
+        d1, d2 = fn(p1p, p2p, np.int32(n1), np.int32(n2))
+        return lambda: float(d1) + float(d2)
     p1p = _pad_to_multiple(p1, chunk)
     p2p = _pad_to_multiple(p2, chunk)
     fn = _chamfer_pair_fn(chunk, num_points)
@@ -57,6 +82,22 @@ def chamfer_distance_async(points1, points2,
 
 
 _PAIR_CACHE: dict = {}
+
+
+def warm_chamfer(n_points: int, num_points: Optional[int] = None) -> None:
+    """Compile + execute the bidirectional sweep once, serially, at the
+    production cloud size (H*W points — shape is data-independent).
+
+    The eval loops' one-sample lookahead otherwise makes the FIRST chamfer
+    compile land while the next sample's forward is in flight; on the axon
+    platform (remote compile) that concurrency intermittently deadlocked
+    the device for tens of minutes (r4 incident, scripts/wedge_repro.py).
+    Warming at loop start + the fixed pad_to shape make every in-loop call
+    pure execution (the engines pass the same pad_to = H*W)."""
+    rng = np.random.default_rng(0)
+    cloud = rng.uniform(-30.0, 30.0, (n_points, 3)).astype(np.float32)
+    chamfer_distance_async(cloud, cloud + 0.05, num_points,
+                           pad_to=n_points)()
 
 
 def _chamfer_pair_fn(chunk: int, num_points: Optional[int]):
@@ -81,6 +122,38 @@ def _chamfer_pair_fn(chunk: int, num_points: Optional[int]):
         if num_points is None:
             return jnp.mean(d1), jnp.mean(d2)
         return jnp.sum(d1) / num_points, jnp.sum(d2) / num_points
+
+    _PAIR_CACHE[key] = pair
+    return pair
+
+
+def _chamfer_pair_fn_masked(chunk: int, num_points: Optional[int], P: int):
+    """Fixed-shape variant of _chamfer_pair_fn: both clouds padded to P,
+    true counts (n1, n2) are DYNAMIC scalars — one executable serves every
+    cloud size in the eval loop.  Sentinel-padded rows are excluded from the
+    means by index mask (padded-vs-padded distances are 0 but masked; padded
+    targets never win a min because their distances are ~1e16)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import get_chamfer_impl
+    impl = get_chamfer_impl()
+    key = (id(impl), chunk, num_points, P, "masked")
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
+
+    @partial(jax.jit, donate_argnums=())
+    def pair(p1p, p2p, n1, n2):
+        d1 = impl(p1p, p2p, chunk=chunk)   # gt -> pred
+        d2 = impl(p2p, p1p, chunk=chunk)   # pred -> gt
+        idx = jnp.arange(P, dtype=jnp.int32)
+        s1 = jnp.sum(jnp.where(idx < n1, d1, 0.0))
+        s2 = jnp.sum(jnp.where(idx < n2, d2, 0.0))
+        if num_points is None:
+            return s1 / n1, s2 / n2
+        return s1 / num_points, s2 / num_points
 
     _PAIR_CACHE[key] = pair
     return pair

@@ -411,14 +411,26 @@ def window_attention_pallas_train(p: Params, prefix: str, x: jnp.ndarray,
 
 
 def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
-                            st: BlockStatic, eps: float) -> jnp.ndarray:
+                            st: BlockStatic, eps: float,
+                            frame=None):
     """First half of a Swin block fully fused: x + attn(LN1(x)).
 
     The residual is added inside the kernel in grouped layout — valid because
     roll/partition are permutations, so x + P^-1(attn(P(x))) ==
     P^-1(P(x) + attn(P(x))).
-    """
-    from ..ops.pallas.window_msa import fused_window_msa, fused_window_msa_nat
+
+    ``frame`` (frame-threaded mode, inference stage loops): x is
+    roll_hw(x_true, -frame) — the storage frame left by the previous block.
+    The kernel wants its input in frame st.shift; on the masked-nat path the
+    (st.shift - frame) change is folded into the kernel's halo reads
+    (window_msa.masked_nat_halo_ok) so the XLA roll copies (whole-activation
+    HBM read+write, 2x per shifted block) vanish; the output stays in frame
+    st.shift and (out, frame) is returned for the caller to thread.  With
+    frame=None behaves as a self-contained block (rolls in XLA, frame-0
+    output) and returns just out."""
+    from ..ops.pallas.window_msa import (fused_window_msa,
+                                         fused_window_msa_nat,
+                                         masked_nat_halo_ok)
 
     B, H, W, C = x.shape
     wh, ww = st.window
@@ -429,7 +441,26 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
     G, GL = st.group, st.group * Lw
     nH, nWg = H // wh, W // ww // G
 
-    if sh or sw:
+    threaded = frame is not None
+    halo_mode = False
+    dh = dw = 0
+    if threaded:
+        from ..ops.pallas.window_msa import _use_masked
+        dh, dw = sh - frame[0], sw - frame[1]
+        mask_per_group = st.group_mask.shape[0] != 1
+        halo_mode = ((dh, dw) == (0, 0) and frame == (0, 0)) or (
+            _use_masked(nh)
+            and os.environ.get("TULIP_TPU_MSA_GROUPED") != "1"
+            and masked_nat_halo_ok((B * nH, wh, W, C), GL, nh, nH,
+                                   x.dtype, mask_per_group, dh))
+        if not halo_mode:
+            # ineligible geometry: materialize frame 0 and fall through to
+            # the self-contained path below (which rolls for sh/sw itself)
+            if frame != (0, 0):
+                x = roll_hw(x, frame[0], frame[1])
+            dh = dw = 0
+
+    if (sh or sw) and not halo_mode:
         x = roll_hw(x, -sh, -sw)
 
     table = p[f"{prefix}.attn.relative_position_bias_table"].astype(jnp.float32)
@@ -472,7 +503,8 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
         x4 = x.reshape(B * nH, wh, W, C)
         out = fused_window_msa_nat(
             x4, *common, bias_nat, gmask_nat,
-            nh=nh, scale_inv_sqrt_hd=hd ** -0.5, nH=nH, eps=eps)
+            nh=nh, scale_inv_sqrt_hd=hd ** -0.5, nH=nH, eps=eps,
+            dh=dh, dw=dw)
         out = out.reshape(B, H, W, C)
     else:
         xg = x.reshape(B, nH, wh, nWg, G, ww, C)
@@ -482,13 +514,15 @@ def fused_half_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
             nh=nh, scale_inv_sqrt_hd=hd ** -0.5, eps=eps)
         out = out.reshape(B, nH, nWg, G, wh, ww, C)
         out = out.transpose(0, 1, 4, 2, 3, 5, 6).reshape(B, H, W, C)
-    if sh or sw:
+    if (sh or sw) and not halo_mode:
         out = roll_hw(out, sh, sw)
+    if threaded:
+        return out, ((sh, sw) if halo_mode else (0, 0))
     return out
 
 
 def fused_swin_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
-                            st: BlockStatic, eps: float) -> jnp.ndarray:
+                            st: BlockStatic, eps: float, frame=None):
     """Whole Swin block as two fused Pallas kernels (inference path):
     x = x + attn(LN1(x)); x = x + MLP(LN2(x)).
 
@@ -500,7 +534,13 @@ def fused_swin_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
     Deleted per the delete-losers policy; numbers in BASELINE.md.)"""
     from ..ops.pallas.mlp import fused_ln_mlp
 
-    x = fused_half_block_pallas(p, prefix, x, st, eps)
+    threaded = frame is not None
+    if threaded:
+        # frame-threaded: the MLP half is per-token (frame-equivariant), so
+        # it runs directly in whatever frame the attn half wrote
+        x, frame = fused_half_block_pallas(p, prefix, x, st, eps, frame)
+    else:
+        x = fused_half_block_pallas(p, prefix, x, st, eps)
     B, H, W, C = x.shape
     d = x.dtype
     y = fused_ln_mlp(
@@ -512,7 +552,8 @@ def fused_swin_block_pallas(p: Params, prefix: str, x: jnp.ndarray,
         p[f"{prefix}.mlp.fc2.weight"].astype(d),
         p[f"{prefix}.mlp.fc2.bias"].astype(d).reshape(1, -1),
         eps=eps)
-    return y.reshape(B, H, W, C)
+    y = y.reshape(B, H, W, C)
+    return (y, frame) if threaded else y
 
 
 ATTN_IMPLS = {"xla": window_attention_v1, "grouped": window_attention_grouped,

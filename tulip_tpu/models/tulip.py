@@ -356,6 +356,26 @@ def _ps_head_pred_fused(p: Params, x: jnp.ndarray, cfg: ModelConfig,
 def _run_blocks(p: Params, prefix: str, x: jnp.ndarray, blocks, cfg: ModelConfig,
                 rng, dropout_active, droppath_active):
     block_fn = swin_block_v2 if cfg.swin_v2 else swin_block_v1
+    # Frame-threaded fused inference: shifted-window rolls become in-kernel
+    # halo reads (swin.fused_half_block_pallas frame mode) — the storage
+    # frame alternates across the stage and is restored once at the end, so
+    # the 2-per-shifted-block XLA roll copies collapse to at most one roll
+    # per stage.  TULIP_TPU_NO_HALO=1 reverts to self-contained blocks (A/B).
+    if (not cfg.swin_v2 and cfg.attn_impl == "pallas"
+            and x.dtype == jnp.bfloat16
+            and not droppath_active
+            and not (dropout_active and (cfg.drop_rate > 0.0
+                                         or cfg.attn_drop_rate > 0.0))
+            and os.environ.get("TULIP_TPU_NO_HALO") != "1"):
+        from .swin import fused_swin_block_pallas
+        from ..parallel.halo import roll_hw
+        frame = (0, 0)
+        for j, st in enumerate(blocks):
+            x, frame = fused_swin_block_pallas(
+                p, f"{prefix}.blocks.{j}", x, st, cfg.layer_norm_eps, frame)
+        if frame != (0, 0):
+            x = roll_hw(x, frame[0], frame[1])
+        return x
     # TULIP_TPU_REMAT_BLOCKS=1: jax.checkpoint each block — the backward
     # recomputes LN/qkv/attention instead of reading their saved residuals
     # from HBM (one extra block-forward of FLOPs for ~300 MB less traffic

@@ -21,6 +21,11 @@ def set_default_chamfer_impl(name: str) -> None:
 def get_chamfer_impl(name: str = None):
     if name is None:
         name = _DEFAULT_CHAMFER
+        if name == "auto":
+            # env override of the auto choice (A/B + incident mitigation
+            # without code edits); an explicit --chamfer_impl still wins
+            import os
+            name = os.environ.get("TULIP_TPU_CHAMFER") or name
     if name in ("auto", "xla"):
         # pallas impls register themselves when importable on this backend
         try:

@@ -195,6 +195,10 @@ def min_sq_dists_pallas_h(a: jnp.ndarray, b: jnp.ndarray, chunk: int = 1024,
 
 def _register():
     from .. import register_chamfer_impl
+    # measured/validated target-chunk config (bench_chamfer, r3): callers
+    # (eval.metrics.chamfer_distance_async) honor this instead of assuming
+    # the brute kernels' 4096
+    min_sq_dists_pallas_h.preferred_chunk = 1024
     register_chamfer_impl("pallas_h", min_sq_dists_pallas_h)
 
 

@@ -263,12 +263,10 @@ def _masked_nat_attn(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     return out                                                # fp32 (T, C)
 
 
-def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
-                       bk_ref, wv_ref, bv_ref, wproj_ref, bproj_ref, bias_ref,
-                       gmask_ref, o_ref, *, nh: int, scale: float,
+def _kernel_masked_nat(x_ref, *rest, nh: int, scale: float,
                        mask_per_group: bool, fuse_ln: bool, residual: bool,
                        eps: float, RB: int, BWg: int, wh: int, Gww: int,
-                       add_gmask: bool = True):
+                       add_gmask: bool = True, dh: int = 0, dw: int = 0):
     """Natural-layout masked-head core: the masked-head math of
     _kernel_masked on contiguous (RB, wh, BWg*Gww, C) row-strip tiles — the
     partition "transpose" happens on VMEM-resident q/k/v as an outer-dim
@@ -280,9 +278,36 @@ def _kernel_masked_nat(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     flat (T, C) rows, which is layout-invariant.  RB row-strips per grid
     step keep the per-step group count (RB*BWg) at the grouped kernel's
     level so grid overhead matches (one strip = at most nWg groups, e.g. 8
-    at stage 0 vs the grouped kernel's 32 per step)."""
+    at stage 0 vs the grouped kernel's 32 per step).
+
+    (dh, dw): in-kernel shifted-window frame change — the tile is assembled
+    as roll_hw(storage, -dh, -dw) from the block plus an |dh|-row halo strip
+    (second operand, present iff dh != 0), so the XLA-side roll copies of
+    the shifted blocks (HBM read+write of the whole activation, 2x per
+    shifted block) never happen.  eff[r] = storage[r + dh] — the halo is
+    the next strip's first dh rows (dh > 0) or the previous strip's last
+    -dh rows (dh < 0); the W-rotation is a static sublane concat on the
+    VMEM-resident tile.  Output is written in the kernel's own (rolled)
+    frame; the caller tracks frames across blocks (models/swin.py)."""
+    if dh != 0:
+        halo_ref, *rest = rest
+    (lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+     wproj_ref, bproj_ref, bias_ref, gmask_ref, o_ref) = rest
+    W = x_ref.shape[2]
     C = x_ref.shape[3]
-    x = x_ref[:].reshape(RB * wh * BWg * Gww, C)              # natural rows
+    xt = x_ref[:]                                             # (RB, wh, W, C)
+    if dh != 0:
+        flat = xt.reshape(RB * wh, W, C)
+        hal = halo_ref[0]                                     # (|dh|, W, C)
+        if dh > 0:
+            flat = jnp.concatenate([flat[dh:], hal], axis=0)
+        else:
+            flat = jnp.concatenate([hal, flat[:RB * wh + dh]], axis=0)
+        xt = flat.reshape(RB, wh, W, C)
+    if dw != 0:
+        # eff[:, :, w] = storage[:, :, (w + dw) % W]
+        xt = jnp.concatenate([xt[:, :, dw:], xt[:, :, :dw]], axis=2)
+    x = xt.reshape(RB * wh * BWg * Gww, C)                    # natural rows
     out = _masked_nat_attn(
         x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wproj_ref,
         bproj_ref, bias_ref, gmask_ref, lnw_ref, lnb_ref, nh=nh, scale=scale,
@@ -361,30 +386,12 @@ def _kernel_nat(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[0] = out.astype(x.dtype).reshape(wh, BWg * Gww, C)
 
 
-def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
-                     gmask_nat, *, nh, scale, nH, eps, residual, interpret):
-    """pallas_call plumbing for _kernel_masked_nat (natural row-strip io)."""
-    R, wh, W, C = x4.shape
-    GL = bias_nat.shape[1]
-    Gww = GL // wh
-    nWg = W // Gww
-    mask_per_group = gmask_nat.shape[0] != 1
-    add_gmask = mask_per_group
-    if not mask_per_group:
-        # one shared (block-diagonal) mask: fold it into the bias table in
-        # XLA (hoisted, one-time) and skip the in-kernel add — one VPU pass
-        # per head per group saved on every unshifted block
-        bias_nat = bias_nat + gmask_nat[0][None].astype(bias_nat.dtype)
-    wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
-    bq, bk, bv = bqkv[:, :C], bqkv[:, C:2 * C], bqkv[:, 2 * C:]
-    # fold the attention scale into the q projection (the torch reference
-    # scales q before the dot, tulip.py:301 — same order here) and skip
-    # the in-kernel logits-scaling pass
-    wq = (wq.astype(jnp.float32) * scale).astype(wq.dtype)
-    bq = (bq.astype(jnp.float32) * scale).astype(bq.dtype)
-    scale = 1.0
+def _masked_nat_tiling(R, wh, W, C, GL, nh, nWg, nH, sm_bytes,
+                       mask_per_group, halo):
+    """Grid sizing for the masked-nat kernels: (RB, BWg, nWB).
 
-    sm_bytes = 4 if x4.dtype == jnp.float32 else 2
+    ``halo`` (in-kernel frame change, dh != 0) additionally requires
+    RB | nH so the halo strip's image-boundary wrap is block-computable."""
     per_group = (3 * GL * C * (4 + 2)            # q/k/v fp32 accum + bf16
                  + GL * C * 4                    # PV accumulator
                  + GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs
@@ -411,9 +418,62 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
                     budget // (per_group * BWg), R))
     if mask_per_group and nWB != 1:
         RB = 1
-    lim = nH if mask_per_group else R
+    lim = nH if (mask_per_group or halo) else R
     while lim % RB or R % RB:
         RB -= 1
+    return RB, BWg, nWB
+
+
+def masked_nat_halo_ok(x4_shape, GL, nh, nH, dtype, mask_per_group,
+                       dh: int) -> bool:
+    """True iff _masked_nat_call can fold a (dh, *) frame change in-kernel:
+    masked core applies, whole-W strips (nWB == 1), and the halo strip's
+    row blocking is expressible (|dh| divides wh)."""
+    R, wh, W, C = x4_shape
+    Gww = GL // wh
+    nWg = W // Gww
+    if not _use_masked(nh):
+        return False
+    if dh != 0 and (abs(dh) >= wh or wh % abs(dh)):
+        return False
+    sm_bytes = 4 if dtype == jnp.float32 else 2
+    _, _, nWB = _masked_nat_tiling(R, wh, W, C, GL, nh, nWg, nH, sm_bytes,
+                                   mask_per_group, dh != 0)
+    return nWB == 1
+
+
+def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
+                     gmask_nat, *, nh, scale, nH, eps, residual, interpret,
+                     dh=0, dw=0):
+    """pallas_call plumbing for _kernel_masked_nat (natural row-strip io)."""
+    R, wh, W, C = x4.shape
+    GL = bias_nat.shape[1]
+    Gww = GL // wh
+    nWg = W // Gww
+    mask_per_group = gmask_nat.shape[0] != 1
+    add_gmask = mask_per_group
+    if not mask_per_group:
+        # one shared (block-diagonal) mask: fold it into the bias table in
+        # XLA (hoisted, one-time) and skip the in-kernel add — one VPU pass
+        # per head per group saved on every unshifted block
+        bias_nat = bias_nat + gmask_nat[0][None].astype(bias_nat.dtype)
+    wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
+    bq, bk, bv = bqkv[:, :C], bqkv[:, C:2 * C], bqkv[:, 2 * C:]
+    # fold the attention scale into the q projection (the torch reference
+    # scales q before the dot, tulip.py:301 — same order here) and skip
+    # the in-kernel logits-scaling pass
+    wq = (wq.astype(jnp.float32) * scale).astype(wq.dtype)
+    bq = (bq.astype(jnp.float32) * scale).astype(bq.dtype)
+    scale = 1.0
+
+    sm_bytes = 4 if x4.dtype == jnp.float32 else 2
+    RB, BWg, nWB = _masked_nat_tiling(R, wh, W, C, GL, nh, nWg, nH, sm_bytes,
+                                      mask_per_group, dh != 0)
+    if dh != 0 or dw != 0:
+        # in-kernel frame change: gate with masked_nat_halo_ok before calling
+        assert nWB == 1 and (dh == 0 or (abs(dh) < wh and wh % abs(dh) == 0
+                                         and nH % RB == 0)), \
+            (dh, dw, wh, RB, nH, nWB)
 
     grid = (R // RB, nWB)
     fuse_ln = lnw is not None
@@ -424,7 +484,7 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         _kernel_masked_nat, nh=nh, scale=scale,
         mask_per_group=mask_per_group, fuse_ln=fuse_ln,
         residual=fuse_ln if residual is None else residual, eps=eps,
-        RB=RB, BWg=BWg, wh=wh, Gww=Gww, add_gmask=add_gmask)
+        RB=RB, BWg=BWg, wh=wh, Gww=Gww, add_gmask=add_gmask, dh=dh, dw=dw)
     if mask_per_group and nWB == 1:
         # gmask rows are (h_row, wg) row-major over (nH, nWg); grid row i
         # covers strips [i*RB, (i+1)*RB) = h_rows [(i*RB) % nH, ...+RB)
@@ -462,6 +522,29 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
     ]
     operands = [x4, lnw, lnb, wq, bq, wk, bk, wv, bv, wproj, bproj,
                 bias_nat, gmask_nat]
+    if dh != 0:
+        # halo strip: the |dh| rows the frame change pulls in from the strip
+        # adjacent to this block, with the image-boundary wrap folded into
+        # the block index (RB | nH asserted above).  x4 is passed a second
+        # time under a (1, |dh|, W, C) spec — only |dh|/(RB*wh) extra reads.
+        # (NB: fresh name — the gmask lambda above closes over nHB late.)
+        spi = nH  # strips per image (first-dim blocks are single strips)
+        if dh > 0:
+            # next strip's first dh rows: second-dim block 0 of (wh//dh)
+            halo_spec = pl.BlockSpec(
+                (1, dh, W, C),
+                lambda i, j: ((i * RB // spi) * spi + (i * RB + RB) % spi,
+                              0, j, 0),
+                memory_space=pltpu.VMEM)
+        else:
+            # previous strip's last -dh rows: second-dim block wh//|dh| - 1
+            halo_spec = pl.BlockSpec(
+                (1, -dh, W, C),
+                lambda i, j: ((i * RB // spi) * spi + (i * RB - 1) % spi,
+                              wh // (-dh) - 1, j, 0),
+                memory_space=pltpu.VMEM)
+        in_specs.insert(1, halo_spec)
+        operands.insert(1, x4)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -473,15 +556,22 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "scale_inv_sqrt_hd", "nH",
-                                             "interpret", "eps", "residual"))
+                                             "interpret", "eps", "residual",
+                                             "dh", "dw"))
 def fused_window_msa_nat(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
                          gmask_nat, *, nh: int, scale_inv_sqrt_hd: float,
                          nH: int, interpret: bool = False, eps: float = 0.0,
-                         residual: bool = None):
+                         residual: bool = None, dh: int = 0, dw: int = 0):
     """Natural-layout fused window MSA: x4 (R, wh, W, C) row-strips (R =
     B*nH), bias_nat (nh, GL, GL) and gmask_nat (nG or 1, GL, GL) in NATURAL
     token order (permute with attn_core.natural_token_perm).  Output in the
     same layout — callers need only reshapes, no partition transposes.
+
+    (dh, dw) != (0, 0): the kernel additionally assembles its input as
+    roll_hw(x4, -dh, -dw) in-kernel (halo reads + sublane rotation), so a
+    shifted-window frame change costs no XLA roll copy; output stays in the
+    kernel's (rolled) frame.  Gate with masked_nat_halo_ok — only the
+    masked-head core supports it.
 
     Core selection mirrors fused_window_msa: masked-head for small nh
     (_use_masked), lane-slice peel beyond."""
@@ -496,7 +586,9 @@ def fused_window_msa_nat(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         return _masked_nat_call(
             x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat, gmask_nat,
             nh=nh, scale=scale_inv_sqrt_hd, nH=nH, eps=eps,
-            residual=residual, interpret=interpret)
+            residual=residual, interpret=interpret, dh=dh, dw=dw)
+    assert dh == 0 and dw == 0, \
+        "in-kernel frame change requires the masked-head core"
 
     sm_bytes = 4 if x4.dtype == jnp.float32 else 2
     hd_ = C // nh
