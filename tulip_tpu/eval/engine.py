@@ -129,10 +129,17 @@ def _project(dataset: str, img: np.ndarray, mc: bool = False) -> np.ndarray:
 
 
 def _sample_3d_metrics(dataset, pred_img, images_high_res, images_low_res,
-                       h_high_res, downsampling_factor, args, mc: bool):
+                       h_high_res, downsampling_factor, args, mc: bool,
+                       defer: bool = False):
     """Host-side per-sample 3D metric path (engine:205-276).  Returns
     (loss_low_res_part, chamfer, iou, precision, recall, f1, pcd_pred, pcd_gt)
-    and mutates pred_img with the low-res row re-injection."""
+    and mutates pred_img with the low-res row re-injection.
+
+    ``defer=True``: everything host-side runs now and the device NN sweep is
+    dispatched, but the blocking chamfer READ is packaged into the returned
+    zero-arg closure — the eval loops call it one sample later, after the
+    NEXT sample's sweep is dispatched, so the ~0.5 s device sweep fully
+    overlaps the next sample's host projection/voxel work."""
     if dataset == "carla" and tuple(args.img_size_low_res)[1] != tuple(args.img_size_high_res)[1]:
         loss_low_res_part = 0.0
     else:
@@ -168,8 +175,13 @@ def _sample_3d_metrics(dataset, pred_img, images_high_res, images_low_res,
     iou, precision, recall = voxel_metrics_sparse(
         pcd_pred, pcd_gt, args.grid_size, min_coord, max_coord)
     f1 = 2 * (precision * recall) / (precision + recall)
-    chamfer_dist = chamfer_handle()
-    return loss_low_res_part, chamfer_dist, iou, precision, recall, f1, pcd_pred, pcd_gt
+
+    def finish():
+        chamfer_dist = chamfer_handle()
+        return (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
+                pcd_pred, pcd_gt)
+
+    return finish if defer else finish()
 
 
 def _log_sample(log_writer, local_step, global_step, images_high_res, pred_img,
@@ -246,44 +258,52 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
                            'recall', 'f1')}
 
     def process(step, outs):
-        nonlocal local_step
         pred, high32, low32, loss_map, mae = outs
         mae = float(mae)
         images_high_res = np.asarray(high32).squeeze()
         images_low_res = np.asarray(low32).squeeze()
         pred_img = np.array(pred).squeeze()
 
-        (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
-         pcd_pred, pcd_gt) = _sample_3d_metrics(
+        finish3d = _sample_3d_metrics(
             dataset, pred_img, images_high_res, images_low_res,
-            h_high_res, downsampling_factor, args, mc=False)
+            h_high_res, downsampling_factor, args, mc=False, defer=True)
 
-        evaluation_metrics['mae'].append(mae)
-        evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
-        evaluation_metrics['iou'].append(iou)
-        evaluation_metrics['precision'].append(precision)
-        evaluation_metrics['recall'].append(recall)
-        evaluation_metrics['f1'].append(f1)
+        def complete():
+            nonlocal local_step
+            (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
+             pcd_pred, pcd_gt) = finish3d()
 
-        if step % 100 == 0 or step == 1:
-            _log_sample(log_writer, local_step, step,
-                        images_high_res, pred_img, loss_map, mae,
-                        loss_low_res_part, chamfer_dist, iou, precision,
-                        recall, pcd_pred, pcd_gt, args, 'pcd')
-            local_step += 1
+            evaluation_metrics['mae'].append(mae)
+            evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
+            evaluation_metrics['iou'].append(iou)
+            evaluation_metrics['precision'].append(precision)
+            evaluation_metrics['recall'].append(recall)
+            evaluation_metrics['f1'].append(f1)
 
-        totals['iou'] += iou
-        totals['cd'] += float(chamfer_dist)
-        totals['loss'] += mae
-        totals['f1'] += f1
-        totals['precision'] += precision
-        totals['recall'] += recall
+            if step % 100 == 0 or step == 1:
+                _log_sample(log_writer, local_step, step,
+                            images_high_res, pred_img, loss_map, mae,
+                            loss_low_res_part, chamfer_dist, iou, precision,
+                            recall, pcd_pred, pcd_gt, args, 'pcd')
+                local_step += 1
+
+            totals['iou'] += iou
+            totals['cd'] += float(chamfer_dist)
+            totals['loss'] += mae
+            totals['f1'] += f1
+            totals['precision'] += precision
+            totals['recall'] += recall
+
+        return complete
 
     _warm_metrics(args, log_writer)
-    # one-sample lookahead: sample k+1's forward is dispatched before sample
-    # k's host-side metrics run, overlapping host 3D metrics with device
-    # compute (jax dispatch is async; only the np.asarray reads block)
+    # two-deep pipeline: sample k+1's forward is dispatched before sample
+    # k's host-side metrics run, and sample k's chamfer READ happens one
+    # iteration later still (after k+1's sweep is dispatched) — so both the
+    # forward and the NN sweep overlap the next sample's host work (jax
+    # dispatch is async; only np.asarray/float reads block)
     pending = None
+    pending_fin = None
     for batch in tqdm.tqdm(data_loader):
         low = jnp.asarray(batch[0]['sample'])
         high = jnp.asarray(batch[1]['sample'])
@@ -294,10 +314,16 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
         if log_writer is None:
             continue  # parity: metrics only on the logging rank (engine:174)
         if pending is not None:
-            process(*pending)
+            fin = process(*pending)
+            if pending_fin is not None:
+                pending_fin()
+            pending_fin = fin
         pending = (global_step, outs)
     if pending is not None:
-        process(*pending)
+        fin = process(*pending)
+        if pending_fin is not None:
+            pending_fin()
+        fin()
 
     return _finalize(evaluation_metrics, totals, global_step, log_writer,
                      args, 'results.txt')
@@ -372,42 +398,48 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
     base_rng = jax.random.PRNGKey(args.seed)
 
     def process(step, outs):
-        nonlocal local_step
         pred, high32, low32, loss_map, mae = outs
         mae = float(mae)
         images_high_res = np.asarray(high32).squeeze()
         images_low_res = np.asarray(low32).squeeze()
         pred_img = np.array(pred).squeeze()
 
-        (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
-         pcd_pred, pcd_gt) = _sample_3d_metrics(
+        finish3d = _sample_3d_metrics(
             dataset, pred_img, images_high_res, images_low_res,
-            h_high_res, downsampling_factor, args, mc=True)
+            h_high_res, downsampling_factor, args, mc=True, defer=True)
 
-        evaluation_metrics['mae'].append(mae)
-        evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
-        evaluation_metrics['iou'].append(iou)
-        evaluation_metrics['precision'].append(precision)
-        evaluation_metrics['recall'].append(recall)
-        evaluation_metrics['f1'].append(f1)
+        def complete():
+            nonlocal local_step
+            (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
+             pcd_pred, pcd_gt) = finish3d()
 
-        if step % 100 == 0 or step == 1:
-            _log_sample(log_writer, local_step, step, images_high_res,
-                        pred_img, loss_map, mae, loss_low_res_part,
-                        chamfer_dist, iou, precision, recall, pcd_pred, pcd_gt,
-                        args, 'pcd_mc_drop')
-            local_step += 1
+            evaluation_metrics['mae'].append(mae)
+            evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
+            evaluation_metrics['iou'].append(iou)
+            evaluation_metrics['precision'].append(precision)
+            evaluation_metrics['recall'].append(recall)
+            evaluation_metrics['f1'].append(f1)
 
-        totals['iou'] += iou
-        totals['cd'] += float(chamfer_dist)
-        totals['loss'] += mae
-        totals['f1'] += f1
-        totals['precision'] += precision
-        totals['recall'] += recall
+            if step % 100 == 0 or step == 1:
+                _log_sample(log_writer, local_step, step, images_high_res,
+                            pred_img, loss_map, mae, loss_low_res_part,
+                            chamfer_dist, iou, precision, recall, pcd_pred,
+                            pcd_gt, args, 'pcd_mc_drop')
+                local_step += 1
+
+            totals['iou'] += iou
+            totals['cd'] += float(chamfer_dist)
+            totals['loss'] += mae
+            totals['f1'] += f1
+            totals['precision'] += precision
+            totals['recall'] += recall
+
+        return complete
 
     _warm_metrics(args, log_writer)
-    # one-sample lookahead (same rationale as evaluate())
+    # two-deep pipeline (same rationale as evaluate())
     pending = None
+    pending_fin = None
     for batch in tqdm.tqdm(data_loader):
         low = jnp.asarray(batch[0]['sample'])    # (1, C, H, W)
         high = jnp.asarray(batch[1]['sample'])
@@ -436,10 +468,16 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
         if log_writer is None:
             continue
         if pending is not None:
-            process(*pending)
+            fin = process(*pending)
+            if pending_fin is not None:
+                pending_fin()
+            pending_fin = fin
         pending = (global_step, outs)
     if pending is not None:
-        process(*pending)
+        fin = process(*pending)
+        if pending_fin is not None:
+            pending_fin()
+        fin()
 
     return _finalize(evaluation_metrics, totals, global_step, log_writer,
                      args, 'results_mcdrop.txt')
