@@ -61,7 +61,13 @@ def chamfer_distance_async(points1, points2,
     # validated on-chip at 1024 — bench_chamfer r3; 4096 was never measured
     # for it and is the prime suspect in the r4 eval-loop device hangs)
     pref = getattr(get_chamfer_impl(), "preferred_chunk", 4096)
-    chunk = pref if max(p1.shape[0], p2.shape[0]) >= pref else 512
+    # when pad_to is given the executable's shape key must depend ONLY on
+    # pad_to — deriving chunk from the actual cloud sizes would give a small
+    # sample (max(n1,n2) < pref) a different (chunk, P) key and a fresh
+    # mid-loop remote compile, the exact stall pad_to exists to prevent
+    size_basis = pad_to if pad_to is not None \
+        else max(p1.shape[0], p2.shape[0])
+    chunk = pref if size_basis >= pref else 512
     if pad_to is not None:
         n1, n2 = p1.shape[0], p2.shape[0]
         P = max(pad_to, n1, n2)
@@ -144,10 +150,15 @@ def _chamfer_pair_fn_masked(chunk: int, num_points: Optional[int], P: int):
     if key in _PAIR_CACHE:
         return _PAIR_CACHE[key]
 
+    pair_impl = getattr(impl, "pair", None)
+
     @partial(jax.jit, donate_argnums=())
     def pair(p1p, p2p, n1, n2):
-        d1 = impl(p1p, p2p, chunk=chunk)   # gt -> pred
-        d2 = impl(p2p, p1p, chunk=chunk)   # pred -> gt
+        if pair_impl is not None and P % chunk == 0:
+            d1, d2 = pair_impl(p1p, p2p, chunk=chunk)  # one shared sweep
+        else:
+            d1 = impl(p1p, p2p, chunk=chunk)   # gt -> pred
+            d2 = impl(p2p, p1p, chunk=chunk)   # pred -> gt
         idx = jnp.arange(P, dtype=jnp.int32)
         s1 = jnp.sum(jnp.where(idx < n1, d1, 0.0))
         s2 = jnp.sum(jnp.where(idx < n2, d2, 0.0))
@@ -157,6 +168,49 @@ def _chamfer_pair_fn_masked(chunk: int, num_points: Optional[int], P: int):
 
     _PAIR_CACHE[key] = pair
     return pair
+
+
+def device_voxel_counts(pcd_pred, pcd_gt, grid_size: float):
+    """On-device unique-voxel occupancy counts: (n_pred, n_gt, tp) int32.
+
+    Same three counts voxel_metrics_sparse derives with np.unique/
+    intersect1d (and hence the same IoU/P/R as the reference's dense
+    voxelize+compare, evaluation.py:148-175), computed with static shapes
+    so the whole path jits: ONE lexicographic 4-key sort of both clouds'
+    voxel indices tagged with a cloud flag.  After sorting by
+    (i0, i1, i2, flag), within each voxel-key run the pred entries (flag 0)
+    precede the gt entries, so
+
+      n_pred = # positions with flag 0 at a key boundary
+      n_gt   = # positions with flag 1 at a key boundary OR right after the
+               run's last flag-0 entry
+      tp     = # 0->1 flag transitions inside a key run
+               (= keys occupied by BOTH clouds)
+
+    Voxel indices are int32 per-axis (never linearized), so dynamic scene
+    extents can't overflow.  Index math runs fp32 on device vs the host's
+    float64 — a handful of 262k points can flip across a 0.1 m cell edge
+    (same magnitude as the r4 parity record's kitti deltas, ~1e-5 rel).
+    """
+    import jax
+    import jax.numpy as jnp
+    allp = jnp.concatenate([pcd_pred, pcd_gt], axis=0)
+    mn = jnp.min(allp, axis=0)
+    # ((pc - min) / grid).astype(int): operands >= 0, so the reference's
+    # toward-zero int truncation == floor
+    idx = ((allp - mn) / grid_size).astype(jnp.int32)
+    flag = jnp.concatenate([
+        jnp.zeros((pcd_pred.shape[0],), jnp.int32),
+        jnp.ones((pcd_gt.shape[0],), jnp.int32)])
+    s0, s1, s2, sf = jax.lax.sort(
+        (idx[:, 0], idx[:, 1], idx[:, 2], flag), num_keys=4)
+    same = (s0[1:] == s0[:-1]) & (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])
+    newkey = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    prev0 = jnp.concatenate([jnp.zeros((1,), bool), sf[:-1] == 0])
+    n_pred = jnp.sum(((sf == 0) & newkey).astype(jnp.int32))
+    n_gt = jnp.sum(((sf == 1) & (newkey | prev0)).astype(jnp.int32))
+    tp = jnp.sum((same & (sf[:-1] == 0) & (sf[1:] == 1)).astype(jnp.int32))
+    return n_pred, n_gt, tp
 
 
 def mean_absolute_error(pred_img, gt_img) -> float:
@@ -202,7 +256,14 @@ def voxel_metrics_sparse(pcd_pred: np.ndarray, pcd_gt: np.ndarray,
     kg = _keys(pcd_gt)
     tp = np.intersect1d(kp, kg, assume_unique=True).size
     union = kp.size + kg.size - tp
-    return tp / union, tp / kp.size, tp / kg.size
+    # degenerate empty clouds (e.g. a fully noise-filtered prediction): the
+    # dense reference path divides 0/0 into nan with a RuntimeWarning
+    # instead of raising — match that so one bad sample can't abort a long
+    # eval run
+    nan = float("nan")
+    return (tp / union if union else nan,
+            tp / kp.size if kp.size else nan,
+            tp / kg.size if kg.size else nan)
 
 
 def calculate_metrics(voxel_grid_predicted: np.ndarray,

@@ -118,12 +118,17 @@ def _seg_softmax_fwd(logits, gmask_g, GL: int, chunk: int, sm_t):
     gm = (jnp.concatenate([gmask_g] * chunk, axis=1) if chunk > 1
           else gmask_g)
     s = logits + gm
-    # clamped softmax (r4): softmax is shift-invariant, so dropping the
-    # max-subtraction is exact in real arithmetic; fp32 exp is finite below
-    # ~88 and min(s, 40) bounds it (sums of <=128*e^40 << fp32 max), while
-    # the -1e9 mask entries exp to an exact 0.  Saves the row-max reduce +
-    # subtract pass in BOTH the forward and the backward's recompute.
-    e = jnp.exp(jnp.minimum(s, 40.0))
+    # exact max-subtracted softmax.  The TRAINING kernel must not use the
+    # r4 clamp trick (exp(min(s, 40)) with no max-subtraction): attention
+    # logits can grow past 40 during training, where the clamp silently
+    # deviates from true softmax AND breaks the VJP identity
+    # dL = p*(d - sum(d*p)) used in _bwd_kernel (the clamp's zero-gradient
+    # region is never accounted for) — corrupted gradients with no signal.
+    # A FULL-WIDTH row max is a single per-row constant, so subtracting it
+    # from every head segment leaves each segment's softmax exact (shift
+    # invariance) while keeping the one-pass VPU economy described above.
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
     segs = []
     for j in range(chunk):
         seg = e[:, j * GL:(j + 1) * GL]

@@ -77,14 +77,25 @@ def fused_two_matmul(x2d, lnw, lnb, w1, b1, w2, b2, *, eps: float = 1e-6,
         lnb = jnp.zeros((1, C), x2d.dtype)
         fuse_ln = False
 
-    # token tile: keep the (T, H) hidden tile around 1-2 MB; power of two so
-    # dividing down always reaches a divisor of N (token counts are 2^k)
-    budget = max(128, (1 << 21) // (H * 2))
+    # token tile: power of two so dividing down always reaches a divisor of
+    # N (token counts are 2^k).  The 6 MB default measured +0.5% over the
+    # old 2 MB on the batch-32 flagship (r5 A/B, fewer grid steps);
+    # TULIP_TPU_MLP_TILE_MB overrides.
+    tile_bytes = int(float(os.environ.get("TULIP_TPU_MLP_TILE_MB", "6"))
+                     * (1 << 20))
+    budget = max(128, tile_bytes // (H * 2))
     T = 1 << (budget.bit_length() - 1)
     T = min(T, 4096, N)
     while N % T:
         T //= 2
     T = max(T, 1)
+
+    cparams = None
+    if tile_bytes > 2 * (1 << 20):
+        # non-default tile: scale the scoped-vmem limit with it (the
+        # default ~16 MB limit rejects larger tiles)
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=min(
+            T * (H + C + O) * 12, 100 * 1024 * 1024))
 
     kernel = functools.partial(_kernel, eps=eps, act=act, fuse_ln=fuse_ln,
                                residual=residual)
@@ -104,6 +115,7 @@ def fused_two_matmul(x2d, lnw, lnb, w1, b1, w2, b2, *, eps: float = 1e-6,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, O), x2d.dtype),
         interpret=interpret,
+        compiler_params=cparams,
     )(x2d, lnw, lnb, w1, b1, w2, b2)
 
 
@@ -113,8 +125,13 @@ def fused_ln_mlp(x2d, lnw, lnb, w1, b1, w2, b2, *, eps: float = 1e-6,
 
     bf16 (the inference fast path) uses the sigmoid GELU approximation —
     measured +1.6% end-to-end over tanh-GELU (744.0 vs 732.5 img/s, r4);
-    fp32 (checkpoint-parity eval) keeps exact erf-GELU."""
-    act = "gelu_fast" if x2d.dtype == jnp.bfloat16 else "gelu"
+    fp32 (checkpoint-parity eval) keeps exact erf-GELU.  Note this makes
+    bf16 *inference* activations differ from bf16 training (tanh-GELU) and
+    the torch reference (exact GELU) by up to |err| <= 0.0203 per unit;
+    ``TULIP_TPU_GELU_TANH=1`` reverts bf16 inference to tanh-GELU for
+    parity-sensitive runs."""
+    fast = os.environ.get("TULIP_TPU_GELU_TANH", "0") != "1"
+    act = "gelu_fast" if (x2d.dtype == jnp.bfloat16 and fast) else "gelu"
     return fused_two_matmul(x2d, lnw, lnb, w1, b1, w2, b2, eps=eps,
                             act=act, fuse_ln=True, residual=True,
                             interpret=interpret)
