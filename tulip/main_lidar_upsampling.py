@@ -56,9 +56,18 @@ def main(args):
     launcher_world = getattr(args, 'launcher_world_size', 1)
     # Effective batch parity: torchrun scripts mean batch_size per worker x
     # nproc (reference: main:265).  Single-controller JAX feeds the global
-    # batch; shard it over however many chips exist.
-    dp_factor = launcher_world if launcher_world > 1 else n_devices
+    # batch; shard it over however many chips exist.  Under multi-host
+    # (TULIP_TPU_MULTIHOST=1) device_count() is already the global chip
+    # count and the launcher world counts hosts, not chips.
+    n_proc = jax.process_count()
+    proc_rank = jax.process_index()
+    if getattr(args, 'distributed', False):
+        dp_factor = n_devices
+    else:
+        dp_factor = launcher_world if launcher_world > 1 else n_devices
     global_batch = args.batch_size * dp_factor
+    assert global_batch % n_proc == 0, (global_batch, n_proc)
+    local_batch = global_batch // n_proc  # this host's share per step
 
     global_rank = dist.get_rank()
     wandb_mod = init_wandb(args) if global_rank == 0 else None
@@ -68,14 +77,20 @@ def main(args):
     else:
         log_writer = None
 
-    sampler_train = ShardedSampler(len(dataset_train), shuffle=True,
+    # Per-host input sharding (reference: DistributedSampler for train AND
+    # val, main:172-178): each process loads only its 1/n_proc stride of
+    # the epoch permutation; shard_batch assembles the global array.  With
+    # n_proc == 1 this degenerates to a plain shuffler over the full set.
+    sampler_train = ShardedSampler(len(dataset_train), num_replicas=n_proc,
+                                   rank=proc_rank, shuffle=True,
                                    seed=args.seed, drop_last=True)
     data_loader_train = DataLoader(
-        dataset_train, batch_size=global_batch, sampler=sampler_train,
+        dataset_train, batch_size=local_batch, sampler=sampler_train,
         drop_last=True, num_workers=args.num_workers)
     data_loader_val = DataLoader(
         dataset_val, batch_size=1,
-        sampler=ShardedSampler(len(dataset_val), shuffle=False),
+        sampler=ShardedSampler(len(dataset_val), num_replicas=n_proc,
+                               rank=proc_rank, shuffle=False),
         drop_last=False, num_workers=args.num_workers)
 
     cfg = model_config_from_args(args)

@@ -127,7 +127,20 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host numpy batch onto the mesh, sharded along dim 0."""
+    """Place a host batch onto the mesh, sharded along dim 0.
+
+    Single-process: a plain sharded device_put of the global batch.
+    Multi-process (``jax.distributed``): each host passes only its OWN
+    shard of the batch (the loader is constructed per-host via
+    ``ShardedSampler(num_replicas=process_count, rank=process_index)``) and
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the multi-host analogue of
+    the reference's per-rank DistributedSampler + DDP pairing
+    (main_lidar_upsampling.py:172-178)."""
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(a)), batch)
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(a, sharding), batch)
