@@ -16,7 +16,10 @@ import numpy as np
 
 FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_GROUPED",
              "TULIP_TPU_MSA_MASKED", "TULIP_TPU_LN_PALLAS", "TULIP_TPU_MLP_ACT",
-             "TULIP_TPU_LN_XLA", "TULIP_TPU_NO_HALO")
+             "TULIP_TPU_LN_XLA", "TULIP_TPU_NO_HALO", "TULIP_TPU_MSA_PACKED",
+             "TULIP_TPU_GELU_TANH", "TULIP_TPU_MSA_BUDGET_MB",
+             "TULIP_TPU_MLP_TILE_MB", "TULIP_TPU_SM_PROBE",
+             "TULIP_TPU_SM_MXU")
 
 
 def main():
@@ -59,15 +62,19 @@ def main():
         os.environ.update(flags)
         jax.clear_caches()
         salt = jnp.zeros((), jnp.float32)
-        _ = float(fwd_j(params, low, salt, iters))      # compile + warm
-        best = None
-        for _rep in range(3):
-            t0 = time.perf_counter()
-            _ = float(fwd_j(params, low, salt, iters))
-            dt = (time.perf_counter() - t0) / iters
-            best = dt if best is None else min(best, dt)
-        print(f"{spec or '(default)':60s} {B / best:8.1f} img/s "
-              f"({best * 1e3:.2f} ms/step)", flush=True)
+        try:
+            _ = float(fwd_j(params, low, salt, iters))  # compile + warm
+            best = None
+            for _rep in range(3):
+                t0 = time.perf_counter()
+                _ = float(fwd_j(params, low, salt, iters))
+                dt = (time.perf_counter() - t0) / iters
+                best = dt if best is None else min(best, dt)
+            print(f"{spec or '(default)':60s} {B / best:8.1f} img/s "
+                  f"({best * 1e3:.2f} ms/step)", flush=True)
+        except Exception as e:  # keep measuring the other variants
+            print(f"{spec or '(default)':60s} FAILED: "
+                  f"{str(e).splitlines()[0][:160]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -74,3 +74,32 @@ def test_hierarchical_chamfer_uniform_and_degenerate():
     dh0 = np.asarray(min_sq_dists_pallas_h(jnp.asarray(c), jnp.asarray(c[:512]),
                                            chunk=512))
     np.testing.assert_allclose(dh0, np.zeros(700), atol=1e-4)
+
+
+def test_bidirectional_pair_kernel_exact():
+    """min_sq_dists_pallas_h2 (both NN directions from one shared sweep)
+    must match the brute-force answer in BOTH directions, including with
+    scene-like clustered structure and sentinel padding on neither side."""
+    from tulip_tpu.ops.pallas.chamfer_h import min_sq_dists_pallas_h2
+    rng = np.random.default_rng(11)
+    base = rng.uniform(3.0, 25.0, (2048, 1))
+    dirs = rng.normal(size=(2048, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    a = (base * dirs).astype(np.float32)
+    b = (a + rng.normal(0, 0.05, a.shape)).astype(np.float32)
+
+    d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    brute_a = d.min(1)
+    brute_b = d.min(0)
+    da, db = min_sq_dists_pallas_h2(jnp.asarray(a), jnp.asarray(b),
+                                    chunk=512)
+    np.testing.assert_allclose(np.asarray(da), brute_a, rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(db), brute_b, rtol=1e-4, atol=2e-3)
+
+    # uneven sizes: a is not a tile multiple (internal sentinel padding)
+    a2 = a[:1500]
+    d = ((a2[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    da, db = min_sq_dists_pallas_h2(jnp.asarray(a2), jnp.asarray(b),
+                                    chunk=512)
+    np.testing.assert_allclose(np.asarray(da), d.min(1), rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(db), d.min(0), rtol=1e-4, atol=2e-3)

@@ -31,17 +31,32 @@ from ..models.tulip import TulipModel, apply_model
 from ..utils.writer import colorize_range_image, write_ply
 from .geometry import img_to_pcd_carla, img_to_pcd_durlar, img_to_pcd_kitti
 from .metrics import (calculate_metrics, chamfer_distance,
-                      chamfer_distance_async, voxel_metrics_sparse,
-                      voxelize_point_cloud, warm_chamfer)
+                      chamfer_distance_async, device_voxel_counts,
+                      voxel_metrics_sparse, voxelize_point_cloud,
+                      warm_chamfer)
 
 
-def _warm_metrics(args, log_writer):
-    """Pre-compile the chamfer sweep at the production cloud size (see
-    metrics.warm_chamfer — avoids a remote compile landing concurrently
-    with an in-flight forward, the r4 device-hang trigger)."""
+def _use_device_metrics() -> bool:
+    """On-device per-sample metric path (projection + chamfer + voxel
+    counts in ONE jitted dispatch; host does bookkeeping only).
+    TULIP_TPU_HOST_METRICS=1 reverts to the host numpy path."""
+    return os.environ.get("TULIP_TPU_HOST_METRICS", "0") != "1"
+
+
+def _warm_metrics(args, log_writer, metrics_fn=None):
+    """Pre-compile the per-sample metric executable at the production shape
+    (avoids a remote compile landing concurrently with an in-flight
+    forward, the r4 device-hang trigger)."""
     if log_writer is None or jax.default_backend() == "cpu":
         return
     h, w = tuple(args.img_size_high_res)
+    if metrics_fn is not None:
+        hl, wl = tuple(args.img_size_low_res)
+        out = metrics_fn(jnp.full((1, 1, h, w), 0.1, jnp.float32),
+                         jnp.full((1, 1, h, w), 0.1, jnp.float32),
+                         jnp.full((1, 1, hl, wl), 0.1, jnp.float32))
+        float(out["chamfer"])  # block: compile + one execution, serially
+        return
     warm_chamfer(h * w)
 
 _GATES = {  # evaluate-path gates (engine:183-188)
@@ -184,6 +199,92 @@ def _sample_3d_metrics(dataset, pred_img, images_high_res, images_low_res,
     return finish if defer else finish()
 
 
+def _make_device_metrics(dataset: str, args, mc: bool):
+    """One jitted per-sample metric executable (device side of
+    engine:205-276): low-res row re-injection + low-res-part MAE +
+    keep_close gating + sensor-model projection (geometry.*_jnp) + both
+    chamfer NN sweeps + unique-voxel occupancy counts
+    (metrics.device_voxel_counts).  The eval loops read back five scalars
+    per sample; images/clouds are fetched only on TB-logging steps.
+
+    Replaces the host path that dominated the r4 eval loop (~600 ms/sample
+    of numpy projection + np.unique voxel keys on a 1-core host).  Index
+    math runs fp32 on device (vs host float64): metric deltas are ~1e-6
+    rel (chamfer) and ~1e-5 rel (voxel boundary flips), inside the 1e-2
+    parity contract — scripts/parity_record.py re-validates engine-vs-torch
+    with this path on."""
+    from ..ops import get_chamfer_impl
+    from .geometry import (img_to_pcd_carla_jnp, img_to_pcd_durlar_jnp,
+                           img_to_pcd_kitti_jnp)
+    impl = get_chamfer_impl()
+    hh, ww = tuple(args.img_size_high_res)
+    hl, wl = tuple(args.img_size_low_res)
+    key = ("devmet", id(impl), dataset, mc, float(args.grid_size),
+           bool(args.keep_close_scan), (hh, ww), (hl, wl))
+    if key in _FWD_CACHE:
+        return _FWD_CACHE[key]
+
+    P = hh * ww
+    pref = getattr(impl, "preferred_chunk", 4096)
+    chunk = pref if P >= pref else 512
+    factor = hh // hl
+    grid_size = float(args.grid_size)
+    keep_close = bool(args.keep_close_scan) and (
+        (dataset == "durlar" and not mc) or (dataset == "kitti" and mc))
+    skip_inject = dataset == "carla" and wl != ww
+
+    def project(img):
+        if dataset == "carla":
+            return img_to_pcd_carla_jnp(img, maximum_range=80)
+        if dataset == "kitti":
+            return img_to_pcd_kitti_jnp(img, maximum_range=80)
+        return img_to_pcd_durlar_jnp(img, maximum_range=120)
+
+    @jax.jit
+    def metrics_fn(pred, high32, low32):
+        p = pred.reshape(hh, ww)
+        h = high32.reshape(hh, ww)
+        if skip_inject:
+            loss_low = jnp.float32(0.0)
+            p2 = p
+        else:
+            l = low32.reshape(hl, ww)
+            loss_low = jnp.mean(jnp.abs(p[::factor, :] - l))
+            p2 = p.at[::factor, :].set(l)
+        h2 = h
+        if keep_close:
+            p2 = jnp.where(p2 > 0.25, 0.0, p2)
+            h2 = jnp.where(h2 > 0.25, 0.0, h2)
+        pcd_pred = project(p2)
+        pcd_gt = project(h2)
+        pair_impl = getattr(impl, "pair", None)
+        if pair_impl is not None and P % chunk == 0:
+            d1, d2 = pair_impl(pcd_gt, pcd_pred, chunk=chunk)
+        else:
+            d1 = impl(pcd_gt, pcd_pred, chunk=chunk)   # gt -> pred
+            d2 = impl(pcd_pred, pcd_gt, chunk=chunk)   # pred -> gt
+        chamfer = jnp.mean(d1) + jnp.mean(d2)
+        n_pred, n_gt, tp = device_voxel_counts(pcd_pred, pcd_gt, grid_size)
+        return dict(loss_low=loss_low, chamfer=chamfer, n_pred=n_pred,
+                    n_gt=n_gt, tp=tp, pred_inj=p2, high_gated=h2)
+
+    _FWD_CACHE[key] = metrics_fn
+    return metrics_fn
+
+
+def _voxel_ratios(n_pred: int, n_gt: int, tp: int):
+    """IoU / precision / recall / f1 from occupancy counts, with the dense
+    reference path's nan-on-empty semantics."""
+    union = n_pred + n_gt - tp
+    nan = float("nan")
+    iou = tp / union if union else nan
+    precision = tp / n_pred if n_pred else nan
+    recall = tp / n_gt if n_gt else nan
+    pr = precision + recall
+    f1 = 2 * (precision * recall) / pr if pr else nan
+    return iou, precision, recall, f1
+
+
 def _log_sample(log_writer, local_step, global_step, images_high_res, pred_img,
                 loss_map, mae, loss_low_res_part, chamfer_dist, iou, precision,
                 recall, pcd_pred, pcd_gt, args, pcd_dirname):
@@ -249,6 +350,9 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
 
     fwd = _make_eval_forward(model, dataset, args.log_transform, _GATES,
                              compute_dtype, sp_forward=sp_forward)
+    metrics_fn = (_make_device_metrics(dataset, args, mc=False)
+                  if (_use_device_metrics() and log_writer is not None)
+                  else None)
 
     global_step = 0
     local_step = 0
@@ -257,7 +361,56 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
                           ('mae', 'chamfer_dist', 'iou', 'precision',
                            'recall', 'f1')}
 
+    def accumulate(step, mae, loss_low_res_part, chamfer_dist, iou,
+                   precision, recall, f1, log_arrays):
+        nonlocal local_step
+        evaluation_metrics['mae'].append(mae)
+        evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
+        evaluation_metrics['iou'].append(iou)
+        evaluation_metrics['precision'].append(precision)
+        evaluation_metrics['recall'].append(recall)
+        evaluation_metrics['f1'].append(f1)
+
+        if step % 100 == 0 or step == 1:
+            images_high_res, pred_img, loss_map, pcd_pred, pcd_gt = \
+                log_arrays()
+            _log_sample(log_writer, local_step, step,
+                        images_high_res, pred_img, loss_map, mae,
+                        loss_low_res_part, chamfer_dist, iou, precision,
+                        recall, pcd_pred, pcd_gt, args, 'pcd')
+            local_step += 1
+
+        totals['iou'] += iou
+        totals['cd'] += float(chamfer_dist)
+        totals['loss'] += mae
+        totals['f1'] += f1
+        totals['precision'] += precision
+        totals['recall'] += recall
+
+    def process_device(step, outs):
+        pred, high32, low32, loss_map, mae_dev = outs
+        dm = metrics_fn(pred, high32, low32)   # async dispatch
+
+        def complete():
+            n_pred, n_gt, tp = int(dm['n_pred']), int(dm['n_gt']), int(dm['tp'])
+            iou, precision, recall, f1 = _voxel_ratios(n_pred, n_gt, tp)
+
+            def log_arrays():
+                images_high_res = np.asarray(dm['high_gated'])
+                pred_img = np.asarray(dm['pred_inj'])
+                return (images_high_res, pred_img, loss_map,
+                        _project(dataset, pred_img),
+                        _project(dataset, images_high_res))
+
+            accumulate(step, float(mae_dev), float(dm['loss_low']),
+                       float(dm['chamfer']), iou, precision, recall, f1,
+                       log_arrays)
+
+        return complete
+
     def process(step, outs):
+        if metrics_fn is not None:
+            return process_device(step, outs)
         pred, high32, low32, loss_map, mae = outs
         mae = float(mae)
         images_high_res = np.asarray(high32).squeeze()
@@ -269,34 +422,16 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
             h_high_res, downsampling_factor, args, mc=False, defer=True)
 
         def complete():
-            nonlocal local_step
             (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
              pcd_pred, pcd_gt) = finish3d()
-
-            evaluation_metrics['mae'].append(mae)
-            evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
-            evaluation_metrics['iou'].append(iou)
-            evaluation_metrics['precision'].append(precision)
-            evaluation_metrics['recall'].append(recall)
-            evaluation_metrics['f1'].append(f1)
-
-            if step % 100 == 0 or step == 1:
-                _log_sample(log_writer, local_step, step,
-                            images_high_res, pred_img, loss_map, mae,
-                            loss_low_res_part, chamfer_dist, iou, precision,
-                            recall, pcd_pred, pcd_gt, args, 'pcd')
-                local_step += 1
-
-            totals['iou'] += iou
-            totals['cd'] += float(chamfer_dist)
-            totals['loss'] += mae
-            totals['f1'] += f1
-            totals['precision'] += precision
-            totals['recall'] += recall
+            accumulate(step, mae, loss_low_res_part, chamfer_dist, iou,
+                       precision, recall, f1,
+                       lambda: (images_high_res, pred_img, loss_map,
+                                pcd_pred, pcd_gt))
 
         return complete
 
-    _warm_metrics(args, log_writer)
+    _warm_metrics(args, log_writer, metrics_fn)
     # two-deep pipeline: sample k+1's forward is dispatched before sample
     # k's host-side metrics run, and sample k's chamfer READ happens one
     # iteration later still (after k+1's sweep is dispatched) — so both the
@@ -389,6 +524,10 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
             return pred, high32, low32, loss_map, jnp.mean(loss_map)
         _FWD_CACHE[post_key] = postprocess
 
+    metrics_fn = (_make_device_metrics(dataset, args, mc=True)
+                  if (_use_device_metrics() and log_writer is not None)
+                  else None)
+
     global_step = 0
     local_step = 0
     totals = dict(loss=0.0, iou=0.0, cd=0.0, f1=0.0, precision=0.0, recall=0.0)
@@ -397,8 +536,55 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
                            'recall', 'f1')}
     base_rng = jax.random.PRNGKey(args.seed)
 
+    def accumulate(step, mae, loss_low_res_part, chamfer_dist, iou,
+                   precision, recall, f1, log_arrays):
+        nonlocal local_step
+        evaluation_metrics['mae'].append(mae)
+        evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
+        evaluation_metrics['iou'].append(iou)
+        evaluation_metrics['precision'].append(precision)
+        evaluation_metrics['recall'].append(recall)
+        evaluation_metrics['f1'].append(f1)
+
+        if step % 100 == 0 or step == 1:
+            images_high_res, pred_img, loss_map, pcd_pred, pcd_gt = \
+                log_arrays()
+            _log_sample(log_writer, local_step, step, images_high_res,
+                        pred_img, loss_map, mae, loss_low_res_part,
+                        chamfer_dist, iou, precision, recall, pcd_pred,
+                        pcd_gt, args, 'pcd_mc_drop')
+            local_step += 1
+
+        totals['iou'] += iou
+        totals['cd'] += float(chamfer_dist)
+        totals['loss'] += mae
+        totals['f1'] += f1
+        totals['precision'] += precision
+        totals['recall'] += recall
+
     def process(step, outs):
         pred, high32, low32, loss_map, mae = outs
+        if metrics_fn is not None:
+            dm = metrics_fn(pred, high32, low32)   # async dispatch
+
+            def complete():
+                n_pred, n_gt, tp = (int(dm['n_pred']), int(dm['n_gt']),
+                                    int(dm['tp']))
+                iou, precision, recall, f1 = _voxel_ratios(n_pred, n_gt, tp)
+
+                def log_arrays():
+                    images_high_res = np.asarray(dm['high_gated'])
+                    pred_img = np.asarray(dm['pred_inj'])
+                    return (images_high_res, pred_img, loss_map,
+                            _project(dataset, pred_img, mc=True),
+                            _project(dataset, images_high_res, mc=True))
+
+                accumulate(step, float(mae), float(dm['loss_low']),
+                           float(dm['chamfer']), iou, precision, recall, f1,
+                           log_arrays)
+
+            return complete
+
         mae = float(mae)
         images_high_res = np.asarray(high32).squeeze()
         images_low_res = np.asarray(low32).squeeze()
@@ -409,34 +595,16 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
             h_high_res, downsampling_factor, args, mc=True, defer=True)
 
         def complete():
-            nonlocal local_step
             (loss_low_res_part, chamfer_dist, iou, precision, recall, f1,
              pcd_pred, pcd_gt) = finish3d()
-
-            evaluation_metrics['mae'].append(mae)
-            evaluation_metrics['chamfer_dist'].append(float(chamfer_dist))
-            evaluation_metrics['iou'].append(iou)
-            evaluation_metrics['precision'].append(precision)
-            evaluation_metrics['recall'].append(recall)
-            evaluation_metrics['f1'].append(f1)
-
-            if step % 100 == 0 or step == 1:
-                _log_sample(log_writer, local_step, step, images_high_res,
-                            pred_img, loss_map, mae, loss_low_res_part,
-                            chamfer_dist, iou, precision, recall, pcd_pred,
-                            pcd_gt, args, 'pcd_mc_drop')
-                local_step += 1
-
-            totals['iou'] += iou
-            totals['cd'] += float(chamfer_dist)
-            totals['loss'] += mae
-            totals['f1'] += f1
-            totals['precision'] += precision
-            totals['recall'] += recall
+            accumulate(step, mae, loss_low_res_part, chamfer_dist, iou,
+                       precision, recall, f1,
+                       lambda: (images_high_res, pred_img, loss_map,
+                                pcd_pred, pcd_gt))
 
         return complete
 
-    _warm_metrics(args, log_writer)
+    _warm_metrics(args, log_writer, metrics_fn)
     # two-deep pipeline (same rationale as evaluate())
     pending = None
     pending_fin = None

@@ -164,23 +164,36 @@ def img_to_pcd_kitti_jnp(img_range, maximum_range: float = 120,
 
 
 def img_to_pcd_durlar_jnp(img_range, maximum_range: float = 120):
+    """Scatter-free device variant: the numpy version's destagger scatter
+    ``points[v*cols + vcol] = points_all`` with
+    ``vcol = (u - offset[v]) % cols`` is, per image row, a circular shift
+    by -offset[v] — and the OS1-128 offset LUT repeats with period 4
+    (48, 32, 16, 0), so the whole destagger is 4 static ``jnp.roll``s on a
+    (rows/4, 4, cols) view instead of a 262k-row gather/scatter (slow on
+    TPU).  Same output ordering as img_to_pcd_durlar."""
     import jax.numpy as jnp
     rows, cols = img_range.shape[:2]
-    uu, vv = np.meshgrid(np.arange(cols), np.arange(rows), indexing="ij")
-    u, v = uu.reshape(-1), vv.reshape(-1)
-    vcol = (u + cols - OS1_128_OFFSET_LUT[v]) % cols
-    indices = jnp.asarray(v * cols + vcol)
-    p_range = img_range.transpose().reshape(-1) * maximum_range
+    # per-pixel xyz in image (v, u) layout; encoder depends on u only,
+    # elevation on v only
+    u = np.arange(cols)
+    v = np.arange(rows)
     azimuth_radians = math.pi * 2.0 / cols
-    encoder = jnp.asarray(2.0 * math.pi - ((cols + u) % cols) * azimuth_radians,
-                          dtype=jnp.float32)
+    encoder = jnp.asarray(2.0 * math.pi - ((cols + u) % cols)
+                          * azimuth_radians, dtype=jnp.float32)[None, :]
     elevation = jnp.asarray(math.pi * OS1_128_ELEVATION_LUT[v] / 180.0,
-                            dtype=jnp.float32)
-    r = p_range - ORIGIN_OFFSET
+                            dtype=jnp.float32)[:, None]
+    r = img_range * maximum_range - ORIGIN_OFFSET            # (rows, cols)
     cos_el = jnp.cos(elevation)
-    x_l = r * jnp.cos(encoder + ANGLE_OFF) * cos_el + ORIGIN_OFFSET * jnp.cos(encoder)
-    y_l = r * jnp.sin(encoder + ANGLE_OFF) * cos_el + ORIGIN_OFFSET * jnp.sin(encoder)
+    x_l = r * jnp.cos(encoder + ANGLE_OFF) * cos_el \
+        + ORIGIN_OFFSET * jnp.cos(encoder)
+    y_l = r * jnp.sin(encoder + ANGLE_OFF) * cos_el \
+        + ORIGIN_OFFSET * jnp.sin(encoder)
     z_l = r * jnp.sin(elevation)
-    pts = jnp.stack((-x_l, -y_l, z_l + LIDAR_TO_SENSOR_Z_OFFSET), axis=-1)
-    out = jnp.zeros((rows * cols, 3), pts.dtype)
-    return out.at[indices].set(pts)
+    pts = jnp.stack((-x_l, -y_l, z_l + LIDAR_TO_SENSOR_Z_OFFSET),
+                    axis=-1)                                 # (rows, cols, 3)
+    # destagger: out[v] = roll(pts[v], -offset[v]); offsets repeat every 4
+    g = pts.reshape(rows // 4, 4, cols, 3)
+    offs = OS1_128_OFFSET_LUT[:4]                            # (48, 32, 16, 0)
+    rolled = jnp.stack(
+        [jnp.roll(g[:, j], -int(offs[j]), axis=1) for j in range(4)], axis=1)
+    return rolled.reshape(rows * cols, 3)

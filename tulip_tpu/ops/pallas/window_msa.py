@@ -164,6 +164,28 @@ def _kernel_masked(x_ref, lnw_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     o_ref[0] = out.astype(x.dtype).reshape(BG, GL, C)
 
 
+def _compiler_params():
+    """Mosaic compile params for the MSA kernels: raise the scoped-vmem
+    limit in step with the working-set budget (the default ~16 MB limit
+    rejects budgets above ~13 MB; v5e VMEM is 128 MB)."""
+    budget = _vmem_budget()
+    if budget <= 12 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(
+        2 * budget + 8 * 1024 * 1024, 100 * 1024 * 1024))
+
+
+def _vmem_budget() -> int:
+    """Per-grid-step VMEM working-set budget for the MSA kernels (bytes).
+    Bigger budget -> fewer, larger grid steps (less per-step fixed cost) at
+    the price of VMEM pressure.  TULIP_TPU_MSA_BUDGET_MB overrides; the
+    24 MB default (with the scoped-vmem limit raised to match) measured
+    +0.6% over the old 10 MB on the batch-32 flagship (r5 A/B), composing
+    to +1.2% with the 6 MB MLP tile."""
+    return int(float(os.environ.get("TULIP_TPU_MSA_BUDGET_MB", "24"))
+               * 1024 * 1024)
+
+
 def _softmax(attn, sm_t, out_dtype):
     """In-kernel softmax over the last axis.
 
@@ -177,13 +199,23 @@ def _softmax(attn, sm_t, out_dtype):
     would degrade, gracefully, toward uniform-over-clamped.
 
     fp32 compute (checkpoint-parity eval): exact max-subtracted softmax.
+
+    TULIP_TPU_SM_PROBE (measurement-only, WRONG numerics): 'skip' returns
+    the raw logits (bounds the whole softmax's cost), 'cheap' replaces exp
+    with a 1-op square (isolates the transcendental's cost from the pass
+    structure).
     """
+    probe = os.environ.get("TULIP_TPU_SM_PROBE", "")
+    if probe == "skip":
+        return attn.astype(out_dtype)
     if sm_t == jnp.float32:
         attn = attn - jnp.max(attn, axis=-1, keepdims=True)
         e = jnp.exp(attn)
         return (e / jnp.sum(e, axis=-1, keepdims=True)).astype(out_dtype)
     attn = jnp.minimum(attn, jnp.asarray(40.0, sm_t))
-    e = jnp.exp(attn)
+    e = attn * attn if probe == "cheap" else jnp.exp(attn)
+    if probe == "nonorm":   # keep min+exp+cast, skip sum+normalize
+        return e.astype(out_dtype)
     # reciprocal-broadcast then multiply: the division runs over the full
     # (.., GL, GL) logits; the reciprocal only over the (.., GL, 1) sums
     r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
@@ -200,15 +232,51 @@ def _ln_rows(x, w_ref, b_ref, eps):
             + b_ref[0].astype(jnp.float32)).astype(x.dtype)
 
 
+def _packed_chunks(nh: int, max_chunk: int = 4):
+    """Head chunking for the packed (expanded-head) core: chunks of <= 4
+    heads bound the (GL, chunk*GL) fp32 logits tile to <= 256 KB."""
+    chunk = min(nh, max_chunk)
+    while nh % chunk:
+        chunk -= 1
+    return [(h0, chunk) for h0 in range(0, nh, chunk)]
+
+
+def use_packed_msa() -> bool:
+    """Expanded-head packed logits in the masked-nat inference core.
+    Measured r5 (batch 32, flagship): plain packed 773.6 vs per-head 777.6
+    (wash); packed + matmul-softmax 745.0 (loses — the (., ch)-lane sums
+    matmul and fp32 expansion matmul cost more than the VPU reduces they
+    replace).  Default stays the per-head loop; TULIP_TPU_MSA_PACKED=1
+    selects the packed core for re-measurement."""
+    return os.environ.get("TULIP_TPU_MSA_PACKED", "0") == "1"
+
+
 def _masked_nat_attn(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                      wproj_ref, bproj_ref, bias_ref, gmask_ref, lnw_ref,
                      lnb_ref, *, nh, scale, mask_per_group, fuse_ln, residual,
-                     eps, RB, BWg, wh, Gww, add_gmask=True):
+                     eps, RB, BWg, wh, Gww, add_gmask=True, packed=False):
     """Shared attention body of the masked-nat kernels: natural (T, C) rows
     in -> fp32 natural (T, C) rows out (proj output, + residual when
     ``residual``).  ``add_gmask=False`` skips the in-kernel mask add (the
     caller pre-folded the shared mask into the bias table — one VPU pass
-    per head per group saved on every unshifted block)."""
+    per head per group saved on every unshifted block).
+
+    ``packed``: expanded-head core (attn_core.py insight #2 brought to the
+    fused inference kernel).  Per head chunk, K/V are tiled along sublanes
+    and masked head-block-diagonal, so ONE pair of wide batched matmuls
+    computes every head's logits/PV:
+
+        kexp = tile(K, ch) ⊙ m          # (NB, ch*GL, C), zeros off-block
+        logits = Q @ kexpᵀ              # (NB, GL, ch*GL): seg h = q_h k_hᵀ
+        pr = segmented softmax          # one full-width exp pass
+        out = pr @ vexp                 # (NB, GL, C) — no per-head acc
+
+    Q needs no masking (kexp's zeros kill cross-head terms exactly), the
+    bias add/exp run once full-width instead of per head, and the matmul
+    count per group drops from 2*nh to 2*ceil(nh/ch).  FLOPs are the same
+    nh-redundant count as the per-head loop; what changes is op-dispatch
+    and VPU-pass count.  ``bias_ref`` is (GL, nh*GL) column-concat in this
+    mode (vs (nh, GL, GL))."""
     C = x.shape[1]
     GL = wh * Gww
     hd = C // nh
@@ -230,28 +298,138 @@ def _masked_nat_attn(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     v = proj(wv_ref, bv_ref)
 
     sm_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (NB, GL, C), 2) // hd
 
-    acc = jnp.zeros((NB, GL, C), jnp.float32)
-    for h in range(nh):
-        qm = jnp.where(head_of_col == h, q, jnp.zeros((), q.dtype))
-        attn = jax.lax.dot_general(
-            qm, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)               # (NB, GL, GL)
-        attn = attn.astype(sm_t)
-        if scale != 1.0:      # callers fold scale into wq/bq (as the torch
-            attn = attn * jnp.asarray(scale, sm_t)   # reference scales q)
-        attn = attn + bias_ref[h].astype(sm_t)               # bcast over NB
-        if add_gmask:
-            if mask_per_group:
-                attn = attn + gmask_ref[:].astype(sm_t)
+    if packed:
+        acc = None
+        for h0, ch in _packed_chunks(nh):
+            cGL = ch * GL
+            rh = jax.lax.broadcasted_iota(jnp.int32, (cGL, C), 0) // GL + h0
+            chm = jax.lax.broadcasted_iota(jnp.int32, (cGL, C), 1) // hd
+            m = rh == chm
+            kexp = jnp.where(m, jnp.concatenate([k] * ch, axis=1),
+                             jnp.zeros((), k.dtype))          # (NB, cGL, C)
+            vexp = jnp.where(m, jnp.concatenate([v] * ch, axis=1),
+                             jnp.zeros((), v.dtype))
+            logits = jax.lax.dot_general(
+                q, kexp, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # (NB, GL, cGL)
+            s = logits.astype(sm_t)
+            if scale != 1.0:  # callers fold scale into wq/bq
+                s = s * jnp.asarray(scale, sm_t)
+            s = s + bias_ref[:, h0 * GL:(h0 + ch) * GL].astype(sm_t)[None]
+            if add_gmask:
+                gm = (gmask_ref[:] if mask_per_group
+                      else gmask_ref[0][None]).astype(sm_t)
+                if ch > 1:
+                    gm = jnp.concatenate([gm] * ch, axis=-1)
+                s = s + gm
+            if sm_t == jnp.float32:
+                # exact per-segment softmax (checkpoint-parity eval)
+                segs = []
+                for j in range(ch):
+                    seg = s[..., j * GL:(j + 1) * GL]
+                    seg = seg - jnp.max(seg, axis=-1, keepdims=True)
+                    e = jnp.exp(seg)
+                    segs.append(e / jnp.sum(e, axis=-1, keepdims=True))
+                pr = jnp.concatenate(segs, axis=-1).astype(x.dtype)
+                o = jax.lax.dot_general(
+                    pr, vexp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)       # (NB, GL, C)
             else:
-                attn = attn + gmask_ref[0][None].astype(sm_t)
-        pr = _softmax(attn, sm_t, x.dtype)
-        vm = jnp.where(head_of_col == h, v, jnp.zeros((), v.dtype))
-        acc = acc + jax.lax.dot_general(
-            pr, vm, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)               # (NB, GL, C)
+                # Matmul-softmax (bf16): the VPU lane-reduce + full-width
+                # normalize multiply were ~2.6 ms/step of the batch-32
+                # flagship forward (TULIP_TPU_SM_PROBE=skip measurement,
+                # r5); the exp itself measured free.  So: exp the clamped
+                # logits once, take the per-segment sums on the MXU with a
+                # head-block-diagonal ones matrix, run PV UNNORMALIZED, and
+                # fold the normalization into a per-(row, head-block) scale
+                # of the (GL, C) output — softmax row-scaling commutes
+                # through the PV contraction, and the multiply area drops
+                # from GL x ch*GL logits to GL x C output.
+                e = jnp.exp(jnp.minimum(s, jnp.asarray(40.0, sm_t)))
+                rows2 = jax.lax.broadcasted_iota(jnp.int32, (cGL, ch), 0)
+                cols2 = jax.lax.broadcasted_iota(jnp.int32, (cGL, ch), 1)
+                ones_blk = (rows2 // GL == cols2).astype(e.dtype)
+                ssum = jnp.dot(e.reshape(NB * GL, cGL), ones_blk,
+                               preferred_element_type=jnp.float32)
+                recip = 1.0 / ssum                            # (NB*GL, ch)
+                rows3 = jax.lax.broadcasted_iota(jnp.int32, (ch, C), 0)
+                cols3 = jax.lax.broadcasted_iota(jnp.int32, (ch, C), 1)
+                expand = (cols3 // hd == rows3 + h0).astype(jnp.float32)
+                rexp = jnp.dot(recip, expand,
+                               preferred_element_type=jnp.float32)
+                o = jax.lax.dot_general(
+                    e.astype(x.dtype), vexp, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)       # (NB, GL, C)
+                o = o * rexp.reshape(NB, GL, C)
+            acc = o if acc is None else acc + o
+    elif sm_t == jnp.float32 or os.environ.get("TULIP_TPU_SM_MXU") != "1":
+        # bf16 default: clamped VPU softmax.  The r5 A/B matrix (batch-32
+        # flagship, one session): VPU 793.0 img/s, MXU-summed variant below
+        # 784.6, packed+matmul-softmax 745.0, no-normalize probe ceiling
+        # 838.9 — the ~2.3 ms of lane-reduce+normalize is real but every
+        # MXU replacement tried costs more than it saves (the sum dots
+        # contend with the QK/PV matmuls).  TULIP_TPU_SM_MXU=1 selects the
+        # MXU-summed variant for re-measurement.
+        head_of_col = jax.lax.broadcasted_iota(jnp.int32, (NB, GL, C), 2) // hd
+        acc = jnp.zeros((NB, GL, C), jnp.float32)
+        for h in range(nh):
+            qm = jnp.where(head_of_col == h, q, jnp.zeros((), q.dtype))
+            attn = jax.lax.dot_general(
+                qm, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # (NB, GL, GL)
+            attn = attn.astype(sm_t)
+            if scale != 1.0:  # callers fold scale into wq/bq (as the torch
+                attn = attn * jnp.asarray(scale, sm_t)   # reference scales q)
+            attn = attn + bias_ref[h].astype(sm_t)           # bcast over NB
+            if add_gmask:
+                if mask_per_group:
+                    attn = attn + gmask_ref[:].astype(sm_t)
+                else:
+                    attn = attn + gmask_ref[0][None].astype(sm_t)
+            pr = _softmax(attn, sm_t, x.dtype)
+            vm = jnp.where(head_of_col == h, v, jnp.zeros((), v.dtype))
+            acc = acc + jax.lax.dot_general(
+                pr, vm, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # (NB, GL, C)
+    else:
+        # bf16 fast path: MXU-summed softmax.  The VPU lane-reduce +
+        # normalize multiply measured 2.2 ms/step of the batch-32 flagship
+        # forward (TULIP_TPU_SM_PROBE=nonorm, r5) while the exp itself is
+        # free.  So: exp the clamped logits, feed them UNNORMALIZED into
+        # the PV matmul, and take each head's row sums on the MXU with an
+        # all-ones (GL, hd) matrix — every output lane of that dot IS the
+        # row sum, i.e. the sum arrives pre-broadcast across the head's hd
+        # lanes with no VPU reduce and no lane slicing.  One fp32
+        # reciprocal over (GL, C) + one multiply normalizes the whole
+        # accumulator (softmax row-scaling commutes through PV).
+        head_of_col = jax.lax.broadcasted_iota(jnp.int32, (NB, GL, C), 2) // hd
+        ones_sum = jnp.ones((GL, hd), x.dtype)
+        acc = jnp.zeros((NB, GL, C), jnp.float32)
+        sums = []
+        for h in range(nh):
+            qm = jnp.where(head_of_col == h, q, jnp.zeros((), q.dtype))
+            attn = jax.lax.dot_general(
+                qm, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # (NB, GL, GL)
+            attn = attn.astype(sm_t)
+            if scale != 1.0:
+                attn = attn * jnp.asarray(scale, sm_t)
+            attn = attn + bias_ref[h].astype(sm_t)           # bcast over NB
+            if add_gmask:
+                if mask_per_group:
+                    attn = attn + gmask_ref[:].astype(sm_t)
+                else:
+                    attn = attn + gmask_ref[0][None].astype(sm_t)
+            e = jnp.exp(jnp.minimum(attn, jnp.asarray(40.0, sm_t)))
+            sums.append(jnp.dot(e.reshape(NB * GL, GL), ones_sum,
+                                preferred_element_type=jnp.float32))
+            vm = jnp.where(head_of_col == h, v, jnp.zeros((), v.dtype))
+            acc = acc + jax.lax.dot_general(
+                e, vm, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # (NB, GL, C)
+        rf = 1.0 / jnp.concatenate(sums, axis=-1)             # (NB*GL, C)
+        acc = acc * rf.reshape(NB, GL, C)
 
     out = (acc.astype(x.dtype).reshape(RB, BWg, wh, Gww, C)
            .transpose(0, 2, 1, 3, 4)
@@ -266,7 +444,8 @@ def _masked_nat_attn(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
 def _kernel_masked_nat(x_ref, *rest, nh: int, scale: float,
                        mask_per_group: bool, fuse_ln: bool, residual: bool,
                        eps: float, RB: int, BWg: int, wh: int, Gww: int,
-                       add_gmask: bool = True, dh: int = 0, dw: int = 0):
+                       add_gmask: bool = True, dh: int = 0, dw: int = 0,
+                       packed: bool = False):
     """Natural-layout masked-head core: the masked-head math of
     _kernel_masked on contiguous (RB, wh, BWg*Gww, C) row-strip tiles — the
     partition "transpose" happens on VMEM-resident q/k/v as an outer-dim
@@ -312,7 +491,8 @@ def _kernel_masked_nat(x_ref, *rest, nh: int, scale: float,
         x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wproj_ref,
         bproj_ref, bias_ref, gmask_ref, lnw_ref, lnb_ref, nh=nh, scale=scale,
         mask_per_group=mask_per_group, fuse_ln=fuse_ln, residual=residual,
-        eps=eps, RB=RB, BWg=BWg, wh=wh, Gww=Gww, add_gmask=add_gmask)
+        eps=eps, RB=RB, BWg=BWg, wh=wh, Gww=Gww, add_gmask=add_gmask,
+        packed=packed)
     o_ref[:] = out.astype(x.dtype).reshape(RB, wh, BWg * Gww, C)
 
 
@@ -387,17 +567,19 @@ def _kernel_nat(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 
 def _masked_nat_tiling(R, wh, W, C, GL, nh, nWg, nH, sm_bytes,
-                       mask_per_group, halo):
+                       mask_per_group, halo, packed=False):
     """Grid sizing for the masked-nat kernels: (RB, BWg, nWB).
 
     ``halo`` (in-kernel frame change, dh != 0) additionally requires
     RB | nH so the halo strip's image-boundary wrap is block-computable."""
+    ch = _packed_chunks(nh)[0][1] if packed else 1
     per_group = (3 * GL * C * (4 + 2)            # q/k/v fp32 accum + bf16
                  + GL * C * 4                    # PV accumulator
-                 + GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs
+                 + ch * GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs
+                 + 2 * ch * GL * C * 2           # (packed: kexp/vexp tiles)
                  + 2 * GL * C * 2                # io tiles
                  + GL * C * 4)                   # slack (masked copies)
-    budget = 10 * 1024 * 1024
+    budget = _vmem_budget()
     # Groups per grid step: budget-driven, NOT pinned to the grouped
     # kernel's 32 — at stage-0 geometry a 32-group cap means a 512-step
     # grid whose fixed per-step cost dominates (the kernel measured ~9x
@@ -438,7 +620,8 @@ def masked_nat_halo_ok(x4_shape, GL, nh, nH, dtype, mask_per_group,
         return False
     sm_bytes = 4 if dtype == jnp.float32 else 2
     _, _, nWB = _masked_nat_tiling(R, wh, W, C, GL, nh, nWg, nH, sm_bytes,
-                                   mask_per_group, dh != 0)
+                                   mask_per_group, dh != 0,
+                                   packed=use_packed_msa())
     return nWB == 1
 
 
@@ -457,6 +640,11 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         # XLA (hoisted, one-time) and skip the in-kernel add — one VPU pass
         # per head per group saved on every unshifted block
         bias_nat = bias_nat + gmask_nat[0][None].astype(bias_nat.dtype)
+    packed = use_packed_msa()
+    if packed:
+        # expanded-head core: bias as (GL, nh*GL) column-concat (hoisted)
+        bias_nat = jnp.concatenate(
+            [bias_nat[h] for h in range(bias_nat.shape[0])], axis=-1)
     wq, wk, wv = wqkv[:, :C], wqkv[:, C:2 * C], wqkv[:, 2 * C:]
     bq, bk, bv = bqkv[:, :C], bqkv[:, C:2 * C], bqkv[:, 2 * C:]
     # fold the attention scale into the q projection (the torch reference
@@ -468,7 +656,7 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
 
     sm_bytes = 4 if x4.dtype == jnp.float32 else 2
     RB, BWg, nWB = _masked_nat_tiling(R, wh, W, C, GL, nh, nWg, nH, sm_bytes,
-                                      mask_per_group, dh != 0)
+                                      mask_per_group, dh != 0, packed=packed)
     if dh != 0 or dw != 0:
         # in-kernel frame change: gate with masked_nat_halo_ok before calling
         assert nWB == 1 and (dh == 0 or (abs(dh) < wh and wh % abs(dh) == 0
@@ -484,7 +672,8 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         _kernel_masked_nat, nh=nh, scale=scale,
         mask_per_group=mask_per_group, fuse_ln=fuse_ln,
         residual=fuse_ln if residual is None else residual, eps=eps,
-        RB=RB, BWg=BWg, wh=wh, Gww=Gww, add_gmask=add_gmask, dh=dh, dw=dw)
+        RB=RB, BWg=BWg, wh=wh, Gww=Gww, add_gmask=add_gmask, dh=dh, dw=dw,
+        packed=packed)
     if mask_per_group and nWB == 1:
         # gmask rows are (h_row, wg) row-major over (nH, nWg); grid row i
         # covers strips [i*RB, (i+1)*RB) = h_rows [(i*RB) % nH, ...+RB)
@@ -510,14 +699,17 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
                             memory_space=pltpu.VMEM)
     io_spec = pl.BlockSpec((RB, wh, BWg * Gww, C), lambda i, j: (i, 0, j, 0),
                            memory_space=pltpu.VMEM)
+    bias_spec = (pl.BlockSpec((GL, nh * GL), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM) if packed
+                 else pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
+                                   memory_space=pltpu.VMEM))
     in_specs = [
         io_spec, vec_spec, vec_spec,
         mat_spec, vec_spec,           # wq, bq
         mat_spec, vec_spec,           # wk, bk
         mat_spec, vec_spec,           # wv, bv
         mat_spec, vec_spec,           # wproj, bproj
-        pl.BlockSpec((nh, GL, GL), lambda i, j: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        bias_spec,
         gmask_spec,
     ]
     operands = [x4, lnw, lnb, wq, bq, wk, bk, wv, bv, wproj, bproj,
@@ -552,6 +744,7 @@ def _masked_nat_call(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct(x4.shape, x4.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(*operands)
 
 
@@ -596,7 +789,7 @@ def fused_window_msa_nat(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
                  + nh * GL * GL * (4 + sm_bytes + 2)
                  + 3 * nh * GL * hd_ * 4
                  + GL * C * 8)
-    budget = 10 * 1024 * 1024
+    budget = _vmem_budget()
     BWg = max(1, min(nWg, budget // per_group, 32))
     while nWg % BWg:
         BWg -= 1
@@ -648,6 +841,7 @@ def fused_window_msa_nat(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat,
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct(x4.shape, x4.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(x4, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_nat, gmask_nat)
 
 
@@ -679,7 +873,7 @@ def _masked_call(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big, gmask, *,
                  + GL * GL * (4 + 4 + sm_bytes)  # logits, exp, probs
                  + 2 * GL * C * 2                # io tiles
                  + GL * C * 4)                   # slack (masked copies)
-    budget = 10 * 1024 * 1024
+    budget = _vmem_budget()
     BG = max(1, min(nG, budget // per_group, 32))
     while nG % BG:
         BG -= 1
@@ -723,6 +917,7 @@ def _masked_call(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big, gmask, *,
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct(xg.shape, xg.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(xg, lnw, lnb, wq, bq, wk, bk, wv, bv, wproj, bproj, bias_in, gmask)
 
 
@@ -763,7 +958,7 @@ def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
                  + nh_ * GL * GL * (4 + sm_bytes + 2)  # logits, exp, probs
                  + 3 * nh_ * GL * hd_ * 4       # stacked q/k/v (+copies)
                  + GL * C * 8)                  # x/out tiles + slack
-    budget = 10 * 1024 * 1024
+    budget = _vmem_budget()
     BG = max(1, min(nG, budget // per_group, 32))
     while nG % BG:
         BG -= 1
@@ -810,4 +1005,5 @@ def fused_window_msa(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xg.shape, xg.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(xg, lnw, lnb, wqkv, bqkv, wproj, bproj, bias_big, gmask)
