@@ -273,8 +273,14 @@ def _groups_per_step(nWg: int, GL: int, C: int, nh: int, bwd: bool) -> int:
     per_group = (chunk * GL * GL * 4 * (5 if not bwd else 8)  # seg buffers
                  + 2 * chunk * GL * C * 2                     # kexp/vexp
                  + (4 if not bwd else 8) * GL * C * 4)        # io + grads
-    budget = 11 * 1024 * 1024
-    BWg = max(1, min(nWg, budget // per_group, 32))
+    import os
+    # 24 MB default (scoped-vmem limit raised to match): +1.6% train step
+    # over the old 11 MB, +2.5% composed with the MLP-bwd bump (r5 A/B,
+    # batch 8 flagship).  Raising the 32-group cap measured a LOSS (-1.7%).
+    budget = int(float(os.environ.get("TULIP_TPU_ATTN_BUDGET_MB", "24"))
+                 * 1024 * 1024)
+    cap = int(os.environ.get("TULIP_TPU_ATTN_MAXG", "32"))
+    BWg = max(1, min(nWg, budget // per_group, cap))
     while nWg % BWg:
         BWg -= 1
     return BWg
@@ -314,6 +320,14 @@ def _call(kernel_body, qkv, bias_cat, gmask, dao, nh, scale, nH, bwd,
                                mask_per_group=mask_per_group, BWg=BWg,
                                wh=wh, Gww=Gww, C=C)
     grid = (R, nWB)
+    import os
+    budget_mb = float(os.environ.get("TULIP_TPU_ATTN_BUDGET_MB", "11"))
+    cparams = None
+    if budget_mb > 12:
+        from jax.experimental.pallas import tpu as pltpu2
+        cparams = pltpu2.CompilerParams(vmem_limit_bytes=min(
+            int(2 * budget_mb * 1024 * 1024) + 8 * 1024 * 1024,
+            100 * 1024 * 1024))
     if not bwd:
         return pl.pallas_call(
             kernel,
@@ -322,6 +336,7 @@ def _call(kernel_body, qkv, bias_cat, gmask, dao, nh, scale, nH, bwd,
             out_specs=io_spec,
             out_shape=jax.ShapeDtypeStruct((R, wh, W, C), qkv.dtype),
             interpret=interpret,
+            compiler_params=cparams,
         )(qkv, bias_cat, gmask)
     return pl.pallas_call(
         kernel,
@@ -333,6 +348,7 @@ def _call(kernel_body, qkv, bias_cat, gmask, dao, nh, scale, nH, bwd,
             jax.ShapeDtypeStruct(bias_shape, jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=cparams,
     )(qkv, bias_cat, gmask, dao)
 
 

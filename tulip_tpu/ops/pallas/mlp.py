@@ -253,13 +253,21 @@ def _bwd_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, g_ref,
         db2_ref[:] = db2_ref[:] + db2
 
 
+def _bwd_budget_bytes() -> int:
+    """TULIP_TPU_MLP_BWD_MB: per-step VMEM budget for the backward kernel
+    (scales both the token tile and the scoped-vmem limit).  24 MB default:
+    part of the +2.5% r5 train-step A/B (with the attn-core budget bump)."""
+    return int(float(os.environ.get("TULIP_TPU_MLP_BWD_MB", "24"))
+               * 1024 * 1024)
+
+
 def _bwd_vmem_ok(C: int, H: int, O: int, T: int, itemsize: int) -> bool:
     """Conservative per-step VMEM estimate for the backward kernel."""
     weights = (C * H + H * O) * itemsize + (C * H + H * O) * 4   # w + dw
     tiles = T * H * (4 + 4 + itemsize + 4)   # h32, da, dh(+act copies)
     tiles += T * C * (4 * 4 + 2 * itemsize)  # x32/xh/dy/dx + x/y
     tiles += T * O * (itemsize + 4)
-    return weights + tiles < 11 * 1024 * 1024
+    return weights + tiles < _bwd_budget_bytes()
 
 
 def _pallas_two_matmul_bwd(x2d, lnw, lnb, w1, b1, w2, b2, g, *, eps, act,
@@ -268,14 +276,19 @@ def _pallas_two_matmul_bwd(x2d, lnw, lnb, w1, b1, w2, b2, g, *, eps, act,
     H = w1.shape[1]
     O = w2.shape[1]
     # token tile: bound the fp32 hidden tiles; same power-of-two walk as fwd
-    budget = max(128, (1 << 21) // (H * 4))
+    bwd_bytes = _bwd_budget_bytes()
+    budget = max(128, (bwd_bytes // 5) // (H * 4))
     T = 1 << (budget.bit_length() - 1)
-    T = min(T, 2048, N)
+    T = min(T, 4096, N)
     while N % T:
         T //= 2
     T = max(T, 1)
     while T > 128 and not _bwd_vmem_ok(C, H, O, T, x2d.dtype.itemsize):
         T //= 2
+    cparams = None
+    if bwd_bytes > 12 * 1024 * 1024:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=min(
+            2 * bwd_bytes + 8 * 1024 * 1024, 100 * 1024 * 1024))
 
     kernel = functools.partial(_bwd_kernel, eps=eps, act=act,
                                fuse_ln=fuse_ln, residual=residual)
@@ -305,6 +318,7 @@ def _pallas_two_matmul_bwd(x2d, lnw, lnb, w1, b1, w2, b2, g, *, eps, act,
             jax.ShapeDtypeStruct((1, O), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=cparams,
     )(x2d, lnw, lnb, w1, b1, w2, g)
     return (dx, dlnw.astype(lnw.dtype), dlnb.astype(lnb.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
