@@ -65,3 +65,38 @@ def test_ln_vjp_odd_row_count():
     y0 = L.layer_norm({"n.weight": w, "n.bias": b}, "n", x, 1e-6)
     y1 = layer_norm_vjp(x, w.reshape(1, -1), b.reshape(1, -1), 1e-6)
     assert _rel(y0, y1) < 1e-5
+
+
+def test_fused_ln_linear_fwd_and_vjp():
+    """Patch-merging reduction kernel (LN -> bias-free matmul): forward and
+    all four gradients must match the XLA composition within bf16
+    tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from tulip_tpu.ops.pallas.mlp import fused_ln_linear
+
+    rng = np.random.default_rng(0)
+    N, C, O = 512, 384, 192
+    x = jnp.asarray(rng.normal(0, 1, (N, C)).astype(np.float32)).astype(jnp.bfloat16)
+    lnw = jnp.asarray(rng.normal(1, 0.1, (1, C)).astype(np.float32)).astype(jnp.bfloat16)
+    lnb = jnp.asarray(rng.normal(0, 0.1, (1, C)).astype(np.float32)).astype(jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(0, 0.05, (C, O)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def ref(x, lnw, lnb, w1):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), -1, keepdims=True)
+        y = ((x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+             * lnw[0].astype(jnp.float32)
+             + lnb[0].astype(jnp.float32)).astype(x.dtype)
+        return jnp.dot(y, w1, preferred_element_type=jnp.float32).astype(x.dtype)
+
+    g = jnp.asarray(rng.normal(0, 1, (N, O)).astype(np.float32)).astype(jnp.bfloat16)
+    out1, vjp1 = jax.vjp(lambda *a: fused_ln_linear(*a, 1e-6), x, lnw, lnb, w1)
+    out2, vjp2 = jax.vjp(ref, x, lnw, lnb, w1)
+    assert float(jnp.max(jnp.abs(out1.astype(jnp.float32)
+                                 - out2.astype(jnp.float32)))) < 5e-3
+    for a, b, n in zip(vjp1(g), vjp2(g), ["dx", "dlnw", "dlnb", "dw1"]):
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        s = float(jnp.max(jnp.abs(b.astype(jnp.float32))))
+        assert d <= 0.05 * max(s, 1e-3), (n, d, s)

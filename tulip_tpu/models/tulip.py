@@ -255,6 +255,18 @@ def _patch_merging(p: Params, prefix: str, x: jnp.ndarray, swin_v2: bool,
     if swin_v2:
         x = L.linear(p, f"{prefix}.reduction", x)
         return L.layer_norm(p, f"{prefix}.norm", x, eps)
+    if x.dtype == jnp.bfloat16 and f"{prefix}.reduction.bias" not in p:
+        # fused LN+reduction kernel (custom VJP): keeps the space-to-depth
+        # layout copies in bf16 — XLA otherwise hoists the LN's fp32
+        # convert above them and runs the mean/var as separate kLoop
+        # fusions (~1.2 ms/step at stage 0, batch-32 flagship, r5 trace)
+        from ..ops.pallas.mlp import fused_ln_linear
+        B2, H2, W2, C4 = x.shape
+        lnw = p[f"{prefix}.norm.weight"].astype(x.dtype).reshape(1, C4)
+        lnb = p[f"{prefix}.norm.bias"].astype(x.dtype).reshape(1, C4)
+        w1 = p[f"{prefix}.reduction.weight"].astype(x.dtype)
+        out = fused_ln_linear(x.reshape(-1, C4), lnw, lnb, w1, eps)
+        return out.reshape(B2, H2, W2, -1)
     x = L.layer_norm(p, f"{prefix}.norm", x, eps)
     return L.linear(p, f"{prefix}.reduction", x)
 

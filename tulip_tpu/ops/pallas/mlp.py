@@ -326,6 +326,141 @@ def _pallas_two_matmul_bwd(x2d, lnw, lnb, w1, b1, w2, b2, g, *, eps, act,
 
 
 # ---------------------------------------------------------------------------
+# LN -> single matmul (patch-merging reduction).  The XLA composition
+# materializes the LN's fp32 conversion BEFORE the space-to-depth layout
+# copies (doubling their bytes) and runs the mean/var reduces as separate
+# kLoop fusions — ~1.2 ms of the batch-32 flagship eval step at stage 0
+# alone (r5 trace: copy.598 + reduce_sum.58 + multiply_reduce_fusion +
+# cast fusion.58).  In-kernel, the tile stays bf16 until the fp32 LN
+# accumulation and the reduction GEMM runs on the LN output in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_ln_mm(x_ref, lnw_ref, lnb_ref, w1_ref, o_ref, *, eps: float):
+    x = x_ref[:]                                           # (T, C)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * lnw_ref[0].astype(jnp.float32)
+         + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+    o = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = o.astype(x.dtype)
+
+
+def _kernel_ln_mm_bwd(x_ref, lnw_ref, lnb_ref, w1_ref, g_ref,
+                      dx_ref, dlnw_ref, dlnb_ref, dw1_ref, *, eps: float):
+    x = x_ref[:]
+    g = g_ref[:]                                           # (T, O)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xh = (x32 - mean) * rstd
+    y = (xh * lnw_ref[0].astype(jnp.float32)
+         + lnb_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+    dy = jax.lax.dot_general(g, w1_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (T, C)
+    dw1 = jax.lax.dot_general(y, g, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (C, O)
+    dlnw = jnp.sum(dy * xh, axis=0, keepdims=True)
+    dlnb = jnp.sum(dy, axis=0, keepdims=True)
+    dxh = dy * lnw_ref[0].astype(jnp.float32)
+    C = x.shape[1]
+    m1 = jnp.sum(dxh, axis=-1, keepdims=True) / C
+    m2 = jnp.sum(dxh * xh, axis=-1, keepdims=True) / C
+    dx_ref[:] = (rstd * (dxh - m1 - xh * m2)).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dlnw_ref[:] = dlnw
+        dlnb_ref[:] = dlnb
+        dw1_ref[:] = dw1
+
+    @pl.when(pl.program_id(0) > 0)
+    def _():
+        dlnw_ref[:] = dlnw_ref[:] + dlnw
+        dlnb_ref[:] = dlnb_ref[:] + dlnb
+        dw1_ref[:] = dw1_ref[:] + dw1
+
+
+def _ln_mm_tile(N, C, O):
+    budget = max(128, (4 << 20) // ((C + O) * 4))
+    T = 1 << (budget.bit_length() - 1)
+    T = min(T, 4096, N)
+    while N % T:
+        T //= 2
+    return max(T, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_ln_linear(x2d, lnw, lnb, w1, eps: float):
+    """out = LN(x) @ w1 (bias-free reduction linear), Pallas fwd and bwd."""
+    return _ln_mm_call(x2d, lnw, lnb, w1, eps)
+
+
+def _ln_mm_call(x2d, lnw, lnb, w1, eps):
+    N, C = x2d.shape
+    O = w1.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    T = _ln_mm_tile(N, C, O)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_ln_mm, eps=eps),
+        grid=(N // T,),
+        in_specs=[
+            pl.BlockSpec((T, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((1, C)), full((1, C)), full((C, O)),
+        ],
+        out_specs=pl.BlockSpec((T, O), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), x2d.dtype),
+        interpret=interpret,
+    )(x2d, lnw, lnb, w1)
+
+
+def _ln_mm_fwd(x2d, lnw, lnb, w1, eps):
+    return _ln_mm_call(x2d, lnw, lnb, w1, eps), (x2d, lnw, lnb, w1)
+
+
+def _ln_mm_bwd(eps, res, g):
+    x2d, lnw, lnb, w1 = res
+    N, C = x2d.shape
+    O = w1.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    T = _ln_mm_tile(N, C, O)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    dx, dlnw, dlnb, dw1 = pl.pallas_call(
+        functools.partial(_kernel_ln_mm_bwd, eps=eps),
+        grid=(N // T,),
+        in_specs=[
+            pl.BlockSpec((T, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((1, C)), full((1, C)), full((C, O)),
+            pl.BlockSpec((T, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full((1, C)), full((1, C)), full((C, O)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, C), x2d.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, O), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2d, lnw, lnb, w1, g.astype(x2d.dtype))
+    return (dx, dlnw.astype(lnw.dtype), dlnb.astype(lnb.dtype),
+            dw1.astype(w1.dtype))
+
+
+fused_ln_linear.defvjp(_ln_mm_fwd, _ln_mm_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Differentiable wrapper (training path)
 # ---------------------------------------------------------------------------
 
