@@ -37,15 +37,29 @@ def _clouds(seed=0, n=262144):
 
 
 def stage_a(iters, chunk):
+    """Direct pallas_h sweeps at an explicit --chunk (the r4 eval loop ran
+    the hierarchical kernel at 4096, never bench-validated — suspect A)."""
+    import jax
     import jax.numpy as jnp
-    from tulip_tpu.eval.metrics import chamfer_distance_async
-    from tulip_tpu.ops import set_default_chamfer_impl
-    set_default_chamfer_impl(os.environ.get("WEDGE_CHAMFER", "auto"))
+    from tulip_tpu.ops import get_chamfer_impl, set_default_chamfer_impl
+    set_default_chamfer_impl(os.environ.get("WEDGE_CHAMFER", "pallas_h"))
+    impl = get_chamfer_impl()
+
+    @jax.jit
+    def pair(p1, p2):
+        return jnp.mean(impl(p1, p2, chunk=chunk)), \
+            jnp.mean(impl(p2, p1, chunk=chunk))
+
     for i in range(iters):
         pred, gt = _clouds(seed=i)
+        rem = (-gt.shape[0]) % chunk
+        if rem:
+            pad = np.full((rem, 3), 1e8, np.float32)
+            gt = np.concatenate([gt, pad])
+            pred = np.concatenate([pred, pad])
         t0 = time.perf_counter()
-        h = chamfer_distance_async(gt, pred)
-        v = h()
+        d1, d2 = pair(jnp.asarray(gt), jnp.asarray(pred))
+        v = float(d1) + float(d2)
         print(f"A iter {i}: chamfer={v:.4f} dt={time.perf_counter()-t0:.2f}s",
               flush=True)
     print("STAGE_A_OK")
