@@ -154,7 +154,8 @@ def main():
     ap.add_argument("--samples", type=int, default=32)
     ap.add_argument("--mc-iters", type=int, default=50)
     ap.add_argument("--configs", default="durlar,kitti",
-                    help="comma list: durlar, kitti, kitti_large")
+                    help="comma list: durlar, kitti, kitti_large, carla, "
+                         "carla_large")
     ap.add_argument("--attn", default="pallas",
                     choices=["xla", "grouped", "pallas"])
     ap.add_argument("--pretrain-steps", type=int, default=48)
@@ -166,6 +167,9 @@ def main():
         "durlar": ("durlar", (32, 2048), (128, 2048), "tulip_base", 0.0005),
         "kitti": ("kitti", (16, 1024), (64, 1024), "tulip_base", 0.03),
         "kitti_large": ("kitti", (16, 1024), (64, 1024), "tulip_large", 0.03),
+        "carla": ("carla", (32, 2048), (128, 2048), "tulip_base", 0.03),
+        # CARLA trains tulip_large (bash_scripts/tulip_upsampling_carla.sh)
+        "carla_large": ("carla", (32, 2048), (128, 2048), "tulip_large", 0.03),
     }
     for key in args.configs.split(","):
         dataset, low, high, model_name, thr = specs[key.strip()]

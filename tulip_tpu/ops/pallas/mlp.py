@@ -394,6 +394,17 @@ def _ln_mm_tile(N, C, O):
     return max(T, 1)
 
 
+def _ln_mm_cparams(C, O, T, itemsize, bwd):
+    """Scoped-vmem limit sized to the actual working set: the deep merges
+    carry big weights (tulip_large: (3072, 1536) + an fp32 dw1 = 27 MB),
+    which the default ~16 MB limit rejects (measured OOM at compile,
+    r5)."""
+    weights = C * O * itemsize + (C * O * 4 if bwd else 0)
+    tiles = T * (C + O) * (12 if bwd else 8)
+    return pltpu.CompilerParams(vmem_limit_bytes=min(
+        2 * (weights + tiles) + 8 * 1024 * 1024, 110 * 1024 * 1024))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_ln_linear(x2d, lnw, lnb, w1, eps: float):
     """out = LN(x) @ w1 (bias-free reduction linear), Pallas fwd and bwd."""
@@ -418,6 +429,7 @@ def _ln_mm_call(x2d, lnw, lnb, w1, eps):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, O), x2d.dtype),
         interpret=interpret,
+        compiler_params=_ln_mm_cparams(C, O, T, x2d.dtype.itemsize, False),
     )(x2d, lnw, lnb, w1)
 
 
@@ -452,6 +464,7 @@ def _ln_mm_bwd(eps, res, g):
             jax.ShapeDtypeStruct((C, O), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_ln_mm_cparams(C, O, T, x2d.dtype.itemsize, True),
     )(x2d, lnw, lnb, w1, g.astype(x2d.dtype))
     return (dx, dlnw.astype(lnw.dtype), dlnb.astype(lnb.dtype),
             dw1.astype(w1.dtype))
