@@ -55,7 +55,7 @@ def _warm_metrics(args, log_writer, metrics_fn=None):
         out = metrics_fn(jnp.full((1, 1, h, w), 0.1, jnp.float32),
                          jnp.full((1, 1, h, w), 0.1, jnp.float32),
                          jnp.full((1, 1, hl, wl), 0.1, jnp.float32))
-        float(out["chamfer"])  # block: compile + one execution, serially
+        np.asarray(out["stats"])  # block: compile + one execution, serially
         return
     warm_chamfer(h * w)
 
@@ -265,8 +265,17 @@ def _make_device_metrics(dataset: str, args, mc: bool):
             d2 = impl(pcd_pred, pcd_gt, chunk=chunk)   # pred -> gt
         chamfer = jnp.mean(d1) + jnp.mean(d2)
         n_pred, n_gt, tp = device_voxel_counts(pcd_pred, pcd_gt, grid_size)
-        return dict(loss_low=loss_low, chamfer=chamfer, n_pred=n_pred,
-                    n_gt=n_gt, tp=tp, pred_inj=p2, high_gated=h2)
+        # ONE packed stats vector: every float()/int() read is its own
+        # host<->device round trip (~5 ms through the axon tunnel), and the
+        # loop otherwise reads six scalars per sample.  stats[5] re-derives
+        # the forward's mae (same jnp.mean(|pred - high|) expression over
+        # the same post-gate arrays) so no separate read is needed.
+        stats = jnp.stack([loss_low, chamfer,
+                           n_pred.astype(jnp.float32),
+                           n_gt.astype(jnp.float32),
+                           tp.astype(jnp.float32),
+                           jnp.mean(jnp.abs(p - h))])
+        return dict(stats=stats, pred_inj=p2, high_gated=h2)
 
     _FWD_CACHE[key] = metrics_fn
     return metrics_fn
@@ -392,7 +401,9 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
         dm = metrics_fn(pred, high32, low32)   # async dispatch
 
         def complete():
-            n_pred, n_gt, tp = int(dm['n_pred']), int(dm['n_gt']), int(dm['tp'])
+            sv = np.asarray(dm['stats'])       # one device read for all 6
+            loss_low, chamfer = float(sv[0]), float(sv[1])
+            n_pred, n_gt, tp = int(sv[2]), int(sv[3]), int(sv[4])
             iou, precision, recall, f1 = _voxel_ratios(n_pred, n_gt, tp)
 
             def log_arrays():
@@ -402,9 +413,8 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
                         _project(dataset, pred_img),
                         _project(dataset, images_high_res))
 
-            accumulate(step, float(mae_dev), float(dm['loss_low']),
-                       float(dm['chamfer']), iou, precision, recall, f1,
-                       log_arrays)
+            accumulate(step, float(sv[5]), loss_low, chamfer, iou,
+                       precision, recall, f1, log_arrays)
 
         return complete
 
@@ -568,8 +578,9 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
             dm = metrics_fn(pred, high32, low32)   # async dispatch
 
             def complete():
-                n_pred, n_gt, tp = (int(dm['n_pred']), int(dm['n_gt']),
-                                    int(dm['tp']))
+                sv = np.asarray(dm['stats'])   # one device read for all 6
+                loss_low, chamfer = float(sv[0]), float(sv[1])
+                n_pred, n_gt, tp = int(sv[2]), int(sv[3]), int(sv[4])
                 iou, precision, recall, f1 = _voxel_ratios(n_pred, n_gt, tp)
 
                 def log_arrays():
@@ -579,9 +590,8 @@ def MCdrop(data_loader, params, model: TulipModel, log_writer, args=None,
                             _project(dataset, pred_img, mc=True),
                             _project(dataset, images_high_res, mc=True))
 
-                accumulate(step, float(mae), float(dm['loss_low']),
-                           float(dm['chamfer']), iou, precision, recall, f1,
-                           log_arrays)
+                accumulate(step, float(sv[5]), loss_low, chamfer, iou,
+                           precision, recall, f1, log_arrays)
 
             return complete
 
