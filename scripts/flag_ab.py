@@ -19,7 +19,7 @@ FLAG_KEYS = ("TULIP_TPU_MSA_NAT", "TULIP_TPU_MSA_GROUPED",
              "TULIP_TPU_LN_XLA", "TULIP_TPU_NO_HALO", "TULIP_TPU_MSA_PACKED",
              "TULIP_TPU_GELU_TANH", "TULIP_TPU_MSA_BUDGET_MB",
              "TULIP_TPU_MLP_TILE_MB", "TULIP_TPU_SM_PROBE",
-             "TULIP_TPU_SM_MXU")
+             "TULIP_TPU_SM_MXU", "TULIP_TPU_MSA_GROUP")
 
 
 def main():

@@ -100,8 +100,12 @@ def make_block_static(stage: StageConfig, block_idx: int,
     mask = None
     if shifted:
         mask = L.shift_attention_mask(stage.grid, stage.window, stage.shift)
+    # TULIP_TPU_MSA_GROUP: windows fused per attention group (default 8 =
+    # 128-token GL).  Smaller groups shrink the masked 8x-redundant logits
+    # area (VPU softmax) at the price of narrower matmul tiles — A/B knob.
+    gt = int(os.environ.get("TULIP_TPU_MSA_GROUP", "8"))
     group, win_token, group_mask = _grouped_statics(
-        stage.grid, stage.window, shift, mask)
+        stage.grid, stage.window, shift, mask, group_target=gt)
     return BlockStatic(grid=stage.grid, window=stage.window, shift=shift,
                        num_heads=stage.num_heads, rel_index=rel_index,
                        mask=mask, drop_path=stage.drop_path[block_idx],
