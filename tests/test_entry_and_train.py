@@ -196,14 +196,17 @@ def test_perf_flag_grad_equivalence(monkeypatch):
     g_base = grads(False)
 
     def check(g_other, rel, name):
-        # relative to each param's own grad scale, with an absolute floor:
-        # near-zero-magnitude grads (qkv/proj biases here, max ~1e-4) sit at
-        # the bf16 noise floor where a relative test is meaningless.  The
-        # floor is still ~3 orders below the real grad scale (decoder_pred
-        # max ~0.4), so semantic drift is caught.
+        # relative to each param's own grad scale, with a noise floor tied
+        # to the GLOBAL grad scale: tiny-magnitude tensors (qkv/proj
+        # biases) are sums of millions of near-cancelling bf16 terms, so
+        # their own relative error is amplified by cancellation and a
+        # per-tensor relative test is meaningless there.  The floor
+        # (5e-4 x global max, ~2e-4 here vs decoder_pred's ~0.4 scale)
+        # still catches semantic drift, which shows up at grad scale.
+        gmax = max(float(np.abs(np.asarray(v)).max()) for v in g_base.values())
         for k in g_base:
             a, b = np.asarray(g_other[k]), np.asarray(g_base[k])
-            tol = max(rel * np.abs(b).max(), 1e-4)
+            tol = max(rel * np.abs(b).max(), 5e-4 * gmax)
             assert np.abs(a - b).max() <= tol, (name, k, np.abs(a - b).max(),
                                                 np.abs(b).max())
 

@@ -397,7 +397,9 @@ def evaluate(data_loader, params, model: TulipModel, log_writer, args=None,
         totals['recall'] += recall
 
     def process_device(step, outs):
-        pred, high32, low32, loss_map, mae_dev = outs
+        # the forward's mae scalar is ignored: stats[5] re-derives it on
+        # device so the loop reads one array, not two
+        pred, high32, low32, loss_map, _mae = outs
         dm = metrics_fn(pred, high32, low32)   # async dispatch
 
         def complete():
