@@ -363,14 +363,7 @@ def _masked_nat_attn(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                     preferred_element_type=jnp.float32)       # (NB, GL, C)
                 o = o * rexp.reshape(NB, GL, C)
             acc = o if acc is None else acc + o
-    elif sm_t == jnp.float32 or os.environ.get("TULIP_TPU_SM_MXU") != "1":
-        # bf16 default: clamped VPU softmax.  The r5 A/B matrix (batch-32
-        # flagship, one session): VPU 793.0 img/s, MXU-summed variant below
-        # 784.6, packed+matmul-softmax 745.0, no-normalize probe ceiling
-        # 838.9 — the ~2.3 ms of lane-reduce+normalize is real but every
-        # MXU replacement tried costs more than it saves (the sum dots
-        # contend with the QK/PV matmuls).  TULIP_TPU_SM_MXU=1 selects the
-        # MXU-summed variant for re-measurement.
+    elif sm_t == jnp.float32 or os.environ.get("TULIP_TPU_SM_OUTSCALE") != "1":
         head_of_col = jax.lax.broadcasted_iota(jnp.int32, (NB, GL, C), 2) // hd
         acc = jnp.zeros((NB, GL, C), jnp.float32)
         for h in range(nh):
@@ -392,6 +385,45 @@ def _masked_nat_attn(x, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
             acc = acc + jax.lax.dot_general(
                 pr, vm, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)           # (NB, GL, C)
+    elif os.environ.get("TULIP_TPU_SM_MXU") != "1":
+        # OUTPUT-SCALED softmax (TULIP_TPU_SM_OUTSCALE=1, experimental —
+        # the first on-chip measurement attempt stalled >30 min in remote
+        # compile and was killed before producing a number; NOT the
+        # default until that is understood).  Row-scaling commutes
+        # through the PV contraction, and head h's (e_h @ vm_h) product is
+        # zero outside head h's column block — so the reciprocal can
+        # multiply the (GL, C) PV OUTPUT with a native (GL, 1) broadcast
+        # instead of normalizing the (GL, GL) probabilities.  Removes the
+        # full-width normalize multiply and the pr cast per head; only the
+        # lane-reduce sum remains of the classic softmax's VPU cost.
+        # (Probe context, r5: no-normalize ceiling 838.9 vs 793.0 img/s;
+        # the MXU-sum and packed matmul-softmax replacements both LOST —
+        # this variant keeps the sum on the VPU and attacks the multiply.
+        # TULIP_TPU_SM_OUTSCALE=0 reverts to the probability-normalized
+        # path, TULIP_TPU_SM_MXU=1 selects the MXU-summed variant.)
+        head_of_col = jax.lax.broadcasted_iota(jnp.int32, (NB, GL, C), 2) // hd
+        acc = jnp.zeros((NB, GL, C), jnp.float32)
+        for h in range(nh):
+            qm = jnp.where(head_of_col == h, q, jnp.zeros((), q.dtype))
+            attn = jax.lax.dot_general(
+                qm, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # (NB, GL, GL)
+            attn = attn.astype(sm_t)
+            if scale != 1.0:
+                attn = attn * jnp.asarray(scale, sm_t)
+            attn = attn + bias_ref[h].astype(sm_t)           # bcast over NB
+            if add_gmask:
+                if mask_per_group:
+                    attn = attn + gmask_ref[:].astype(sm_t)
+                else:
+                    attn = attn + gmask_ref[0][None].astype(sm_t)
+            e = jnp.exp(jnp.minimum(attn, jnp.asarray(40.0, sm_t)))
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)      # (NB, GL, 1)
+            vm = jnp.where(head_of_col == h, v, jnp.zeros((), v.dtype))
+            o = jax.lax.dot_general(
+                e, vm, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)           # (NB, GL, C)
+            acc = acc + o * r.astype(jnp.float32)
     else:
         # bf16 fast path: MXU-summed softmax.  The VPU lane-reduce +
         # normalize multiply measured 2.2 ms/step of the batch-32 flagship
